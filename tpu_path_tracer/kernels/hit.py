@@ -1,0 +1,208 @@
+"""Scene-level closest-hit: discrete find + differentiable re-shade.
+
+The reference's ``hitScene`` (``shaders/hitRay.wgsl:1-113``) runs per thread:
+a sphere loop routing solid vs. volumetric materials, a quad loop, then BVH
+traversal, mutating a private ``hitRec``.  The TPU-native split is two
+passes:
+
+1. ``find_hit`` — NON-differentiable winner search.  Dense ``[N, P]``
+   broadcasts per primitive family, min-reduced into a running
+   ``(t_best, prim_type, prim_index)`` per lane, in the same precedence
+   order as the reference's sequential loop (strict ``<`` keeps the earlier
+   primitive on ties).  All scene inputs are ``stop_gradient``-ed: the
+   discrete selection (and the ``lax.while_loop`` BVH walk inside) never
+   enters the autodiff graph.
+
+2. ``shade_hit`` — differentiable re-shading.  Gathers only the winning
+   primitive per lane and recomputes ``t``, hit point, and shading normal
+   from raw geometry in closed form, so reverse-mode gradients flow to
+   vertex positions, sphere/quad parameters, and (through the medium
+   density) material parameters — the standard "detach the discrete event,
+   differentiate the continuous integrand" construction for path-space
+   gradients.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng, vecmath as vm
+from ..core.config import ISOTROPIC, RenderConfig
+from ..core.types import HitRecord, Ray, SceneData, SceneMeta
+from . import intersect, traversal
+
+# Winner primitive-type codes (per-lane).
+MISS, SPHERE, QUAD, TRIANGLE, VOLUME = -1, 0, 1, 2, 3
+
+
+def find_hit(rand_state, ray: Ray, scene: SceneData, meta: SceneMeta,
+             cfg: RenderConfig):
+    """Find the closest primitive per ray lane (non-differentiable).
+
+    Returns ``(rand_state, prim_type [N] i32, prim_index [N] i32,
+    vol_u [N] f32)`` where ``vol_u`` is the uniform variate that produced a
+    volumetric scattering event (replayed by ``shade_hit``).
+    """
+    ray = jax.lax.stop_gradient(ray)
+    scene = jax.lax.stop_gradient(scene)
+    o, d = ray.origin, ray.dir
+    n_rays = o.shape[0]
+    t_min = cfg.t_min
+
+    t_best = jnp.full((n_rays,), cfg.t_max, jnp.float32)
+    ptype = jnp.full((n_rays,), MISS, jnp.int32)
+    pidx = jnp.zeros((n_rays,), jnp.int32)
+
+    sph = scene.spheres
+    if sph.count:
+        # Solid spheres — the medium-type routing of hitRay.wgsl:8-24.
+        is_vol = scene.materials.mtype[sph.material_id] == ISOTROPIC
+        ts = intersect.sphere_t(o[:, None], d[:, None], sph.center[None],
+                                sph.radius[None], t_min, cfg.t_max)
+        ts = jnp.where(is_vol[None, :], intersect.INF, ts)
+        t_s = jnp.min(ts, axis=1)
+        i_s = jnp.argmin(ts, axis=1).astype(jnp.int32)
+        upd = t_s < t_best
+        t_best = jnp.where(upd, t_s, t_best)
+        ptype = jnp.where(upd, SPHERE, ptype)
+        pidx = jnp.where(upd, i_s, pidx)
+
+    qd = scene.quads
+    if qd.count:
+        ts = intersect.quad_t(o[:, None], d[:, None], qd.q[None], qd.u[None],
+                              qd.v[None], qd.normal[None], qd.d[None],
+                              qd.w[None], t_min, cfg.t_max)
+        t_q = jnp.min(ts, axis=1)
+        i_q = jnp.argmin(ts, axis=1).astype(jnp.int32)
+        upd = t_q < t_best
+        t_best = jnp.where(upd, t_q, t_best)
+        ptype = jnp.where(upd, QUAD, ptype)
+        pidx = jnp.where(upd, i_q, pidx)
+
+    tris = scene.triangles
+    if tris.count and meta.traversal != "none":
+        if meta.traversal == "bvh" and scene.bvh is not None:
+            t_t, i_t = traversal.bvh_closest_hit(
+                o, d, scene.bvh, tris, t_min, t_best, meta.max_leaf)
+        else:
+            t_t, i_t = traversal.brute_force_closest_hit(o, d, tris, t_min,
+                                                         t_best)
+        upd = (i_t >= 0) & (t_t < t_best)
+        t_best = jnp.where(upd, t_t, t_best)
+        ptype = jnp.where(upd, TRIANGLE, ptype)
+        pidx = jnp.where(upd, i_t, pidx)
+
+    vol_u = jnp.zeros((n_rays,), jnp.float32)
+    if sph.count and meta.has_volumes:
+        # Volumetric pass, clipped by the closest solid hit.  The reference
+        # interleaves volumes into the sphere loop with a running
+        # closest_so_far (hitRay.wgsl:17-24); by the memorylessness of the
+        # free-flight exponential, clipping by the FINAL solid distance and
+        # min-reducing independent per-volume samples is the same
+        # distribution — and is order-independent, which the lanes need.
+        us = []
+        for _ in range(sph.count):
+            rand_state, u = rng.uniform(rand_state)
+            us.append(u)
+        us = jnp.stack(us, axis=1)  # [N, S]
+        neg_inv_density = scene.materials.roughness[sph.material_id]
+        is_vol = scene.materials.mtype[sph.material_id] == ISOTROPIC
+        tv = intersect.volume_t(o[:, None], d[:, None], sph.center[None],
+                                sph.radius[None], neg_inv_density[None], us,
+                                t_min, t_best[:, None])
+        tv = jnp.where(is_vol[None, :], tv, intersect.INF)
+        t_v = jnp.min(tv, axis=1)
+        i_v = jnp.argmin(tv, axis=1).astype(jnp.int32)
+        upd = t_v < t_best
+        t_best = jnp.where(upd, t_v, t_best)
+        ptype = jnp.where(upd, VOLUME, ptype)
+        pidx = jnp.where(upd, i_v, pidx)
+        vol_u = jnp.where(upd, jnp.take_along_axis(
+            us, i_v[:, None], axis=1)[:, 0], vol_u)
+
+    return rand_state, ptype, pidx, jax.lax.stop_gradient(vol_u)
+
+
+def shade_hit(ray: Ray, ptype, pidx, vol_u, scene: SceneData,
+              cfg: RenderConfig) -> HitRecord:
+    """Differentiably recompute the hit record for each lane's winner.
+
+    Produces the WGSL ``hitRec`` fields (``header.wgsl:119-125``): t, p,
+    front-face-flipped shading normal, and material id.  Each primitive
+    family's math is evaluated on gathered winner data and selected by
+    ``prim_type`` — four scalar-per-lane closed forms instead of the
+    reference's branch ladder.
+    """
+    o, d = ray.origin, ray.dir
+    n_rays = o.shape[0]
+    t_min = cfg.t_min
+
+    t = jnp.full((n_rays,), cfg.t_max, jnp.float32)
+    normal = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (n_rays, 1))
+    material_id = jnp.zeros((n_rays,), jnp.int32)
+
+    sph = scene.spheres
+    if sph.count:
+        si = jnp.clip(pidx, 0, sph.count - 1)
+        ctr = sph.center[si]
+        rad = sph.radius[si]
+        sel_s = ptype == SPHERE
+        t_s = intersect.sphere_t(o, d, ctr, rad, t_min, cfg.t_max)
+        p_s = o + t_s[:, None] * d
+        n_s = vm.normalize((p_s - ctr) / rad[:, None])  # common.wgsl:60
+        t = jnp.where(sel_s, t_s, t)
+        normal = jnp.where(sel_s[:, None], n_s, normal)
+        material_id = jnp.where(sel_s, sph.material_id[si], material_id)
+
+        # Volumetric event on the same sphere table (common.wgsl:130-143):
+        # t = rec1 + (-1/density) * log(u) / |d|, normal radial, front_face
+        # forced true.  neg_inv_density rides the material roughness channel.
+        sel_v = ptype == VOLUME
+        r0, _, _ = intersect.sphere_roots(o, d, ctr, rad)
+        rec1 = jnp.maximum(jnp.maximum(r0, t_min), 0.0)
+        nid = scene.materials.roughness[sph.material_id[si]]
+        hit_dist = nid * jnp.log(jnp.maximum(vol_u, 1e-12))
+        t_v = rec1 + hit_dist / vm.length(d)
+        p_v = o + t_v[:, None] * d
+        n_v = vm.normalize(p_v - ctr)
+        t = jnp.where(sel_v, t_v, t)
+        normal = jnp.where(sel_v[:, None], n_v, normal)
+        material_id = jnp.where(sel_v, sph.material_id[si], material_id)
+
+    qd = scene.quads
+    if qd.count:
+        qi = jnp.clip(pidx, 0, qd.count - 1)
+        sel = ptype == QUAD
+        # Recompute plane data from raw (q, u, v) so gradients reach the quad
+        # geometry (the stored derived fields are a non-diff fast path).
+        nq, dq, _ = intersect.quad_derived(qd.q[qi], qd.u[qi], qd.v[qi])
+        t_q = (dq - vm.dot(nq, o)) / vm.dot(nq, d)
+        t = jnp.where(sel, t_q, t)
+        normal = jnp.where(sel[:, None], nq, normal)
+        material_id = jnp.where(sel, qd.material_id[qi], material_id)
+
+    tris = scene.triangles
+    if tris.count:
+        ti = jnp.clip(pidx, 0, tris.count - 1)
+        sel = ptype == TRIANGLE
+        t_t, bu, bv, bw = intersect.triangle_t(
+            o, d, tris.a[ti], tris.b[ti], tris.c[ti], t_min, cfg.t_max)
+        # Smooth barycentric normal — common.wgsl:230 (already world-space).
+        n_t = vm.normalize(tris.na[ti] * bw[:, None]
+                           + tris.nb[ti] * bu[:, None]
+                           + tris.nc[ti] * bv[:, None])
+        t = jnp.where(sel, t_t, t)
+        normal = jnp.where(sel[:, None], n_t, normal)
+        material_id = jnp.where(sel, tris.material_id[ti], material_id)
+
+    hit = ptype != MISS
+    p = o + t[:, None] * d
+    # Front-face determination + normal flip (common.wgsl:64-68,179-183,
+    # 233-237); volumetric hits force front_face (common.wgsl:143).
+    is_vol_lane = ptype == VOLUME
+    front = vm.dot(d, normal) < 0.0
+    normal = jnp.where((front | is_vol_lane)[:, None], normal, -normal)
+    front = front | is_vol_lane
+    return HitRecord(hit=hit, t=t, p=p, normal=normal, front_face=front,
+                     material_id=material_id)
