@@ -109,12 +109,20 @@ def trace(rand_state, ray: Ray, scene: SceneData, meta: SceneMeta,
 
         return (rs, cur_ray, radiance, throughput, alive), None
 
+    # Under shard_map, the scan carry's varying-manual-axes type must be
+    # consistent from step 0, but literal constants (and even the broadcast
+    # camera origin) are 'replicated' while the post-bounce carry is
+    # 'varying'.  Derive every carry init from the per-lane RNG state —
+    # always varying when the pixel axis is sharded — via a varying zero.
+    # Outside shard_map this folds away.
+    del n_rays
+    vzero = (rand_state & jnp.uint32(0)).astype(jnp.float32)[:, None]  # [N,1]
     init = (
         rand_state,
-        ray,
-        jnp.zeros((n_rays, 3), jnp.float32),   # acc_radiance, traceRay.wgsl:6
-        jnp.ones((n_rays, 3), jnp.float32),    # throughput,   traceRay.wgsl:7
-        jnp.ones((n_rays,), bool),
+        Ray(origin=ray.origin + vzero, dir=ray.dir + vzero),
+        vzero + jnp.zeros((3,), jnp.float32),  # acc_radiance, traceRay.wgsl:6
+        vzero + jnp.ones((3,), jnp.float32),   # throughput,   traceRay.wgsl:7
+        (rand_state | jnp.uint32(1)) > 0,      # alive (all True, varying)
     )
     (rand_state, _, radiance, _, _), _ = jax.lax.scan(
         bounce, init, jnp.arange(cfg.max_bounces))

@@ -69,6 +69,10 @@ def path_trace_pixels(rand_state, view_matrix, px, py, scene: SceneData,
     estimates per pixel (stratified grid when configured).  Returns
     (rand_state, radiance [N, 3])."""
     n = px.shape[0]
+    # Varying zero for scan-carry inits under shard_map (see
+    # path_tracer.trace for the full explanation).
+    vzero3 = ((rand_state & jnp.uint32(0)).astype(jnp.float32)[:, None]
+              + jnp.zeros((3,), jnp.float32))
 
     if cfg.stratify:
         # sqrt(spp) x sqrt(spp) stratified grid; like the reference, a
@@ -91,7 +95,7 @@ def path_trace_pixels(rand_state, view_matrix, px, py, scene: SceneData,
             return (rs, acc + radiance), None
 
         (rand_state, total), _ = jax.lax.scan(
-            sample, (rand_state, jnp.zeros((n, 3), jnp.float32)), offsets)
+            sample, (rand_state, vzero3), offsets)
         return rand_state, total / (grid * grid)
 
     def sample(carry, _):
@@ -101,7 +105,7 @@ def path_trace_pixels(rand_state, view_matrix, px, py, scene: SceneData,
         return (rs, acc + radiance), None
 
     (rand_state, total), _ = jax.lax.scan(
-        sample, (rand_state, jnp.zeros((n, 3), jnp.float32)), None,
+        sample, (rand_state, vzero3), None,
         length=cfg.samples_per_pixel)
     return rand_state, total / cfg.samples_per_pixel
 
