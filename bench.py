@@ -37,19 +37,23 @@ def bench_fwd_bwd(width=512, height=512, bounces=4, iters=10, warmup=2):
     params = extract_params(scene, groups=("emission", "bsdf"))
     target = jnp.zeros((n, 3), jnp.float32)
 
-    def loss_fn(params, frame_num):
+    # Everything array-valued is an explicit argument: closure-captured
+    # device arrays become jaxpr constants, which this runtime punishes with
+    # a synchronous round-trip per dispatch (see core/rng.py).
+    def loss_fn(params, scene, pix, px, py, view, target, frame_num):
         s = apply_params(scene, params)
         rs = rng.seed(pix, frame_num)
         _, radiance = path_trace_pixels(rs, view, px, py, s, meta, cfg)
         return jnp.mean((radiance - target) ** 2)
 
     step = jax.jit(jax.value_and_grad(loss_fn))
+    args = (scene, pix, px, py, view, target)
     for i in range(warmup):
-        out = step(params, jnp.int32(i + 1))
+        out = step(params, *args, jnp.int32(i + 1))
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for i in range(iters):
-        out = step(params, jnp.int32(100 + i))
+        out = step(params, *args, jnp.int32(100 + i))
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     return n / dt / 1e6, dt

@@ -15,21 +15,29 @@ All sampling helpers mirror ``shaders/importanceSampling.wgsl`` /
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from .config import PI
 from . import vecmath as vm
 
-_MULT = jnp.uint32(747796405)
-_INC = jnp.uint32(2891336453)
-_XSH = jnp.uint32(277803737)
-_INV_U32_MAX = jnp.float32(1.0 / 4294967295.0)
+# NumPy scalars, NOT jnp arrays: module-level jnp constants are 0-d *device*
+# buffers that get captured into every jitted caller; on this runtime each
+# such capture forces a synchronous host round-trip per dispatch (measured:
+# ~26 ms/call).  NumPy scalars inline as HLO literals instead.
+_MULT = np.uint32(747796405)
+_INC = np.uint32(2891336453)
+_XSH = np.uint32(277803737)
+_INV_U32_MAX = np.float32(1.0 / 4294967295.0)
+_U32_28 = np.uint32(28)
+_U32_22 = np.uint32(22)
+_U32_4 = np.uint32(4)
 
 
 def seed(pixel_index: jnp.ndarray, frame_num) -> jnp.ndarray:
     """Per-lane seeding — ``shaders/main.wgsl:16``."""
     return (pixel_index.astype(jnp.uint32)
-            + jnp.uint32(frame_num) * jnp.uint32(719393))
+            + jnp.asarray(frame_num).astype(jnp.uint32) * np.uint32(719393))
 
 
 def uniform(state: jnp.ndarray):
@@ -39,8 +47,8 @@ def uniform(state: jnp.ndarray):
     advanced first, then the output hash is applied to the *new* state.
     """
     state = state * _MULT + _INC
-    word = ((state >> ((state >> jnp.uint32(28)) + jnp.uint32(4))) ^ state) * _XSH
-    return state, ((word >> jnp.uint32(22)) ^ word).astype(jnp.float32) * _INV_U32_MAX
+    word = ((state >> ((state >> _U32_28) + _U32_4)) ^ state) * _XSH
+    return state, ((word >> _U32_22) ^ word).astype(jnp.float32) * _INV_U32_MAX
 
 
 def uniform2(state):

@@ -9,7 +9,13 @@ helpers scattered through ``shaders/common.wgsl`` / ``importanceSampling.wgsl``
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
+
+# Module-level helper constants are NumPy (HLO literals), never jnp (device
+# buffers) — see core/rng.py for why this matters on this runtime.
+_AXIS_Y = np.asarray([0.0, 1.0, 0.0], np.float32)
+_AXIS_X = np.asarray([1.0, 0.0, 0.0], np.float32)
 
 
 def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -64,11 +70,7 @@ def onb_from_w(w: jnp.ndarray):
     """
     unit_w = normalize(w)
     cond = (jnp.abs(unit_w[..., 0]) > 0.9)[..., None]
-    a = jnp.where(
-        cond,
-        jnp.array([0.0, 1.0, 0.0], unit_w.dtype),
-        jnp.array([1.0, 0.0, 0.0], unit_w.dtype),
-    )
+    a = jnp.where(cond, _AXIS_Y, _AXIS_X)
     v = normalize(cross(unit_w, a))
     u = cross(unit_w, v)
     return u, v, unit_w

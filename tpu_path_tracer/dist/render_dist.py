@@ -17,6 +17,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -85,7 +86,7 @@ def make_sharded_loss_fn(mesh: Mesh, base_scene: SceneData, meta: SceneMeta,
         err = jnp.sum((radiance - target_local) ** 2)
         # Mean over the GLOBAL pixel count: psum the shard-local sums.
         total = jax.lax.psum(err, RAY_AXIS)
-        n_total = jax.lax.psum(jnp.float32(n_local), RAY_AXIS)
+        n_total = jax.lax.psum(np.float32(n_local), RAY_AXIS)
         return total / (n_total * 3.0)
 
     return shard_map(

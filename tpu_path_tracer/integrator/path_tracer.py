@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import rng, vecmath as vm
 from ..core.config import RenderConfig
@@ -40,7 +41,7 @@ def trace(rand_state, ray: Ray, scene: SceneData, meta: SceneMeta,
     """Estimate radiance along each ray; returns ``(rand_state,
     radiance [N, 3])``."""
     n_rays = ray.origin.shape[0]
-    background = jnp.asarray(cfg.background, jnp.float32)
+    background = np.asarray(cfg.background, np.float32)
 
     def bounce(carry, bounce_idx):
         rs, cur_ray, radiance, throughput, alive = carry
@@ -122,7 +123,7 @@ def trace(rand_state, ray: Ray, scene: SceneData, meta: SceneMeta,
         Ray(origin=ray.origin + vzero, dir=ray.dir + vzero),
         vzero + jnp.zeros((3,), jnp.float32),  # acc_radiance, traceRay.wgsl:6
         vzero + jnp.ones((3,), jnp.float32),   # throughput,   traceRay.wgsl:7
-        (rand_state | jnp.uint32(1)) > 0,      # alive (all True, varying)
+        (rand_state | np.uint32(1)) > 0,      # alive (all True, varying)
     )
     (rand_state, _, radiance, _, _), _ = jax.lax.scan(
         bounce, init, jnp.arange(cfg.max_bounces))

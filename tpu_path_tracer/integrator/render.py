@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import rng, vecmath as vm
 from ..core.config import PI, RenderConfig
@@ -40,8 +41,8 @@ def camera_rays(rand_state, view_matrix, px, py, cfg: RenderConfig,
     (``shootRay.wgsl:19-22`` vs ``:37-39``).
     Returns (rand_state, Ray).
     """
-    w = jnp.float32(cfg.width)
-    h = jnp.float32(cfg.height)
+    w = np.float32(cfg.width)
+    h = np.float32(cfg.height)
     aspect = w / h
     rand_state, u1 = rng.uniform(rand_state)
     rand_state, u2 = rng.uniform(rand_state)
@@ -53,7 +54,7 @@ def camera_rays(rand_state, view_matrix, px, py, cfg: RenderConfig,
     s = aspect * (2.0 * ((px.astype(jnp.float32) - 0.5 + jx) / w) - 1.0)
     t = -1.0 * (2.0 * ((py.astype(jnp.float32) - 0.5 + jy) / h) - 1.0)
 
-    fov_factor = 1.0 / jnp.tan(cfg.fov_degrees * (PI / 180.0) / 2.0)
+    fov_factor = np.float32(1.0 / np.tan(cfg.fov_degrees * (PI / 180.0) / 2.0))
     # dir = normalize(viewMatrix @ [s, t, -fovFactor, 0]).xyz
     basis = view_matrix[:3, :3]  # columns: camera x, y, z axes
     d = (s[:, None] * basis[:, 0][None]

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import rng, vecmath as vm
 from ..core.config import ISOTROPIC, RenderConfig
@@ -139,7 +140,8 @@ def shade_hit(ray: Ray, ptype, pidx, vol_u, scene: SceneData,
     t_min = cfg.t_min
 
     t = jnp.full((n_rays,), cfg.t_max, jnp.float32)
-    normal = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (n_rays, 1))
+    normal = jnp.zeros((n_rays, 3), jnp.float32) + np.asarray(
+        [0.0, 0.0, 1.0], np.float32)
     material_id = jnp.zeros((n_rays,), jnp.int32)
 
     sph = scene.spheres

@@ -14,12 +14,16 @@ discrete closest-hit *selection* is made non-differentiable one level up
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..core import vecmath as vm
 from ..core.config import MAX_FLOAT
 
-INF = jnp.float32(MAX_FLOAT * 1.01)  # "no hit" sentinel, beyond any valid t_max
+# "No hit" sentinel beyond any valid t_max.  NumPy scalar on purpose: a
+# jnp scalar would be a 0-d DEVICE constant captured into every jitted
+# caller, which this runtime punishes with a sync round-trip per dispatch.
+INF = np.float32(MAX_FLOAT * 1.01)
 
 
 def sphere_roots(origin, direction, center, radius):

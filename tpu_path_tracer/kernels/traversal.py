@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.types import FlatBVH, Triangles
 from . import intersect
@@ -49,7 +50,7 @@ def bvh_closest_hit(origin, direction, bvh: FlatBVH, tris: Triangles,
     """
     n_nodes = bvh.count
     num_rays = origin.shape[0]
-    sentinel = jnp.int32(n_nodes)
+    sentinel = np.int32(n_nodes)
     inv_dir = jnp.reciprocal(direction)
 
     def cond(state):
