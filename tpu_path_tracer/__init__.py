@@ -14,6 +14,7 @@ from .scene.objreader import MeshData, load_obj, parse_obj
 from .scene import builtin, procedural
 from .scene.transform import Transform
 from .integrator.render import render_frame
+from .renderer import Renderer
 from .integrator import film
 
 __version__ = "0.1.0"

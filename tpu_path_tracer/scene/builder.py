@@ -15,6 +15,7 @@ paths the scene needs.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -193,13 +194,21 @@ class SceneBuilder:
                 traversal = "brute"
             else:
                 mins, maxs = bvh_mod.triangle_aabbs(a, b, c)
-                builder = bvh_mod.BUILDERS[bvh]
-                if bvh == "median":
-                    arrs = builder(mins, maxs)
-                elif bvh == "sah":
-                    arrs = builder(mins, maxs, max_leaf=max_leaf)
-                else:
-                    arrs = builder(mins, maxs, leaf_size=max_leaf)
+                # Native C++ builder when available (accel/bvh_native.cpp);
+                # the NumPy builders remain the reference implementation.
+                leaf_param = 1 if bvh == "median" else max_leaf
+                arrs = None
+                if not os.environ.get("TPT_NO_NATIVE"):
+                    from ..accel.native import build_bvh_native
+                    arrs = build_bvh_native(bvh, mins, maxs, leaf_param)
+                if arrs is None:
+                    builder = bvh_mod.BUILDERS[bvh]
+                    if bvh == "median":
+                        arrs = builder(mins, maxs)
+                    elif bvh == "sah":
+                        arrs = builder(mins, maxs, max_leaf=max_leaf)
+                    else:
+                        arrs = builder(mins, maxs, leaf_size=max_leaf)
                 order = arrs.order
                 a, b, c = a[order], b[order], c[order]
                 na, nb, nc = na[order], nb[order], nc[order]
