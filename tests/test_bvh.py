@@ -78,7 +78,9 @@ def _to_device(arrs, a, b, c):
                    right=jnp.asarray(arrs.right),
                    prim_start=jnp.asarray(arrs.prim_start),
                    prim_count=jnp.asarray(arrs.prim_count),
-                   miss=jnp.asarray(arrs.miss), axis=jnp.asarray(arrs.axis))
+                   miss=jnp.asarray(arrs.miss), axis=jnp.asarray(arrs.axis),
+                   prim_lo=jnp.asarray(arrs.prim_lo),
+                   prim_hi=jnp.asarray(arrs.prim_hi))
     return flat, tris
 
 

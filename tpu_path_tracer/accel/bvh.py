@@ -42,6 +42,8 @@ class FlatBVHArrays(NamedTuple):
     miss: np.ndarray        # [B] i32, == B when traversal should exit
     axis: np.ndarray        # [B] i32
     order: np.ndarray       # [T] i64 permutation of the input primitives
+    prim_lo: np.ndarray     # [B] i32 — subtree triangle range start
+    prim_hi: np.ndarray     # [B] i32 — subtree triangle range end (excl.)
 
 
 _PAD = 5e-5  # AABB.pad epsilon for degenerate-thin boxes — lib/BVH/AABB.js:35-51
@@ -99,7 +101,21 @@ class _Builder:
         b = self.count
         ids = np.arange(b, dtype=np.int64)
         miss = np.minimum(ids + self.size[:b], b).astype(np.int32)
+        # Subtree triangle ranges: in DFS preorder over the in-place
+        # reordered primitive array, each subtree's triangles are one
+        # contiguous range.  lo is a reverse scan (an interior node's first
+        # leaf is its left child's first leaf, and left child == i + 1);
+        # hi[i] == lo[miss[i]].  The Pallas tile traversal sweeps these as
+        # dense spans (kernels/pallas/traversal.py).
+        n_prims = len(self.order)
+        lo = np.empty(b + 1, np.int32)
+        lo[b] = n_prims
+        for i in range(b - 1, -1, -1):
+            lo[i] = self.prim_start[i] if self.prim_count[i] > 0 else lo[i + 1]
+        hi = lo[miss]
         return FlatBVHArrays(
+            prim_lo=lo[:b],
+            prim_hi=hi,
             mins=self.n_mins[:b].astype(np.float32),
             maxs=self.n_maxs[:b].astype(np.float32),
             right=self.right[:b],

@@ -94,10 +94,18 @@ def build_bvh_native(method: str, mins: np.ndarray, maxs: np.ndarray,
         _cptr(scratch, ctypes.c_int64))
     if count < 0:
         return None
+    # Subtree triangle ranges (see _Builder.finish in accel/bvh.py): lo by
+    # reverse scan over preorder, hi via the skip pointer.
+    is_leaf = prim_count[:count] > 0
+    lo = np.empty(count + 1, np.int32)
+    lo[count] = n
+    for i in range(count - 1, -1, -1):
+        lo[i] = prim_start[i] if is_leaf[i] else lo[i + 1]
     return FlatBVHArrays(
         mins=node_mins[:count], maxs=node_maxs[:count], right=right[:count],
         prim_start=prim_start[:count], prim_count=prim_count[:count],
-        miss=miss[:count], axis=axis[:count], order=order[:n])
+        miss=miss[:count], axis=axis[:count], order=order[:n],
+        prim_lo=lo[:count], prim_hi=lo[miss[:count]])
 
 
 def parse_obj_native(text: str):

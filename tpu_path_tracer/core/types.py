@@ -115,6 +115,12 @@ class FlatBVH(NamedTuple):
     prim_count: jnp.ndarray  # [B] i32 — triangle count (leaf), 0 interior
     miss: jnp.ndarray        # [B] i32 — skip pointer; num_nodes = done
     axis: jnp.ndarray        # [B] i32 — split axis (front-to-back ordering)
+    # Subtree triangle range [prim_lo, prim_hi): contiguous by construction
+    # in DFS preorder (children partition the parent's reordered range).
+    # The Pallas tile traversal emits these ranges as dense sweep spans
+    # (kernels.pallas.traversal) — no reference equivalent.
+    prim_lo: jnp.ndarray     # [B] i32
+    prim_hi: jnp.ndarray     # [B] i32
 
     @property
     def count(self) -> int:

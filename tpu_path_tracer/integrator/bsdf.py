@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..core import rng, vecmath as vm
 from ..core.config import GLASS, ISOTROPIC, LAMBERTIAN, MIRROR, PI
+from ..core.gather import TableGather
 from ..core.types import HitRecord, Materials
 
 
@@ -71,12 +72,15 @@ def material_scatter(rand_state, wi: jnp.ndarray, rec: HitRecord,
     which is fine: parity is defined at the estimator level (SURVEY.md §7).
     """
     mid = rec.material_id
-    mtype = materials.mtype[mid]
-    color = materials.color[mid]
-    spec_color = materials.specular_color[mid]
-    spec_strength = materials.specular_strength[mid]
-    roughness = materials.roughness[mid]
-    eta = materials.eta[mid]
+    # One-hot matmul lookup — XLA's gather lowering for tiny-table/huge-index
+    # reads is pathological on TPU (core.gather docstring has the numbers).
+    gm = TableGather(mid, materials.count)
+    mtype = gm(materials.mtype)
+    color = gm(materials.color)
+    spec_color = gm(materials.specular_color)
+    spec_strength = gm(materials.specular_strength)
+    roughness = gm(materials.roughness)
+    eta = gm(materials.eta)
     n = rec.normal
 
     # --- LAMBERTIAN ---------------------------------------------------

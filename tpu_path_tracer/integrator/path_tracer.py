@@ -30,6 +30,7 @@ import numpy as np
 
 from ..core import rng, vecmath as vm
 from ..core.config import RenderConfig
+from ..core.gather import take_rows
 from ..core.types import Ray, SceneData, SceneMeta
 from ..kernels.hit import find_hit, shade_hit
 from . import lights
@@ -56,7 +57,7 @@ def trace(rand_state, ray: Ray, scene: SceneData, meta: SceneMeta,
         live = alive & rec.hit
 
         # Unidirectional emission: front faces only (traceRay.wgsl:18-22).
-        emission = scene.materials.emission[rec.material_id]
+        emission = take_rows(scene.materials.emission, rec.material_id)
         emission = jnp.where(rec.front_face[:, None], emission, 0.0)
         radiance = radiance + jnp.where(
             live[:, None], emission * throughput, 0.0)

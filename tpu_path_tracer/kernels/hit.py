@@ -30,6 +30,7 @@ import numpy as np
 
 from ..core import rng, vecmath as vm
 from ..core.config import ISOTROPIC, RenderConfig
+from ..core.gather import TableGather
 from ..core.types import HitRecord, Ray, SceneData, SceneMeta
 from . import intersect, traversal
 
@@ -147,15 +148,20 @@ def shade_hit(ray: Ray, ptype, pidx, vol_u, scene: SceneData,
     sph = scene.spheres
     if sph.count:
         si = jnp.clip(pidx, 0, sph.count - 1)
-        ctr = sph.center[si]
-        rad = sph.radius[si]
+        # One-hot gathers: tiny tables x huge index vectors are pathological
+        # for XLA's gather lowering on TPU (see core.gather).  Also
+        # differentiable via a matmul transpose instead of scatter-add.
+        gs = TableGather(si, sph.count)
+        ctr = gs(sph.center)
+        rad = gs(sph.radius)
         sel_s = ptype == SPHERE
         t_s = intersect.sphere_t(o, d, ctr, rad, t_min, cfg.t_max)
         p_s = o + t_s[:, None] * d
         n_s = vm.normalize((p_s - ctr) / rad[:, None])  # common.wgsl:60
         t = jnp.where(sel_s, t_s, t)
         normal = jnp.where(sel_s[:, None], n_s, normal)
-        material_id = jnp.where(sel_s, sph.material_id[si], material_id)
+        sph_mid = gs(sph.material_id)
+        material_id = jnp.where(sel_s, sph_mid, material_id)
 
         # Volumetric event on the same sphere table (common.wgsl:130-143):
         # t = rec1 + (-1/density) * log(u) / |d|, normal radial, front_face
@@ -163,26 +169,29 @@ def shade_hit(ray: Ray, ptype, pidx, vol_u, scene: SceneData,
         sel_v = ptype == VOLUME
         r0, _, _ = intersect.sphere_roots(o, d, ctr, rad)
         rec1 = jnp.maximum(jnp.maximum(r0, t_min), 0.0)
-        nid = scene.materials.roughness[sph.material_id[si]]
+        # Per-sphere material roughness resolved table-side (an [S]-sized
+        # gather) so the per-lane lookup shares the sphere one-hot.
+        nid = gs(scene.materials.roughness[sph.material_id])
         hit_dist = nid * jnp.log(jnp.maximum(vol_u, 1e-12))
         t_v = rec1 + hit_dist / vm.length(d)
         p_v = o + t_v[:, None] * d
         n_v = vm.normalize(p_v - ctr)
         t = jnp.where(sel_v, t_v, t)
         normal = jnp.where(sel_v[:, None], n_v, normal)
-        material_id = jnp.where(sel_v, sph.material_id[si], material_id)
+        material_id = jnp.where(sel_v, sph_mid, material_id)
 
     qd = scene.quads
     if qd.count:
         qi = jnp.clip(pidx, 0, qd.count - 1)
         sel = ptype == QUAD
+        gq = TableGather(qi, qd.count)
         # Recompute plane data from raw (q, u, v) so gradients reach the quad
         # geometry (the stored derived fields are a non-diff fast path).
-        nq, dq, _ = intersect.quad_derived(qd.q[qi], qd.u[qi], qd.v[qi])
+        nq, dq, _ = intersect.quad_derived(gq(qd.q), gq(qd.u), gq(qd.v))
         t_q = (dq - vm.dot(nq, o)) / vm.dot(nq, d)
         t = jnp.where(sel, t_q, t)
         normal = jnp.where(sel[:, None], nq, normal)
-        material_id = jnp.where(sel, qd.material_id[qi], material_id)
+        material_id = jnp.where(sel, gq(qd.material_id), material_id)
 
     tris = scene.triangles
     if tris.count:

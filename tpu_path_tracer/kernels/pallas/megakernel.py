@@ -1,0 +1,645 @@
+"""Fused path-tracing megakernel (Pallas/TPU) for analytic scenes.
+
+The reference renders with ONE GPU megakernel: camera-ray gen, the bounce
+loop, intersection, and shading all live in a single WGSL dispatch
+(``shaders/main.wgsl:1-27`` -> ``shootRay/traceRay/hitRay/scatterRay``), so
+per-ray state never leaves registers.  Our default TPU design is the opposite
+— a wavefront ``lax.scan`` (``integrator.path_tracer``) whose carry
+materializes to HBM at every bounce boundary.  This kernel brings the
+megakernel shape back *for scenes without triangle meshes*: the full sample
+and bounce loops run inside one ``pallas_call``, all ray state (PCG state,
+ray, radiance, throughput, liveness) stays in VMEM planes for the whole
+path, and the only HBM traffic is one read of (rand_state, px, py) and one
+write of the radiance image.
+
+Scope: sphere + quad scenes (the reference's default scene family,
+``lib/scene.js:36-162``) with all four BSDFs and NEE/MIS.  Triangle meshes
+keep the wavefront + BVH path (``kernels.traversal``).
+
+Semantics contract: this kernel replays the wavefront integrator draw-for-
+draw — the same per-lane PCG32 (``core.rng``, bit-exact integer math), the
+same draw order (8 uniforms per bounce in ``material_scatter`` + 2 for the
+camera + 3 for NEE + 1 for RR, + one per sphere for volumes when present),
+and the same bounce algebra (``integrator.path_tracer.trace``).  Tests
+assert the two paths agree pixel-for-pixel up to float reassociation.
+
+Data layout: rays are tiled as ``(TILE_ROWS, 128)`` f32 *planes* (one plane
+per vector component — SoA all the way down), the VPU-native shape.  Scene
+tables ride in SMEM and are walked with a statically unrolled primitive loop
+— each sphere/quad is a handful of scalar broadcasts against the tile, and
+the winning primitive's material is select-merged into per-lane planes, so
+there are NO gathers anywhere in the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.config import (GLASS, ISOTROPIC, LAMBERTIAN, MIRROR, PI,
+                            RenderConfig)
+from ...core.types import SceneData, SceneMeta
+
+# Rays per program instance = TILE_ROWS * 128.
+TILE_ROWS = 32
+LANES = 128
+
+# PCG32 constants — bit-exact with core.rng (shaders/common.wgsl:7-12).
+_MULT = np.uint32(747796405)
+_INC = np.uint32(2891336453)
+_XSH = np.uint32(277803737)
+_INV_U32 = np.float32(1.0 / 4294967295.0)
+
+_F32 = jnp.float32
+
+
+# ---------------------------------------------------------------- plane math
+# Component-plane vector helpers: a "vec3" is a triple of [R, 128] planes.
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _norm3(x, y, z, eps=1e-20):
+    # reciprocal(sqrt(.)) not rsqrt: bit-parity with core.vecmath.normalize
+    # keeps branch decisions aligned between this kernel and the wavefront.
+    inv = jnp.reciprocal(jnp.sqrt(jnp.maximum(_dot3(x, y, z, x, y, z), eps)))
+    return x * inv, y * inv, z * inv
+
+
+def _cross3(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _reflect3(dx, dy, dz, nx, ny, nz):
+    k = 2.0 * _dot3(dx, dy, dz, nx, ny, nz)
+    return dx - k * nx, dy - k * ny, dz - k * nz
+
+
+def _mix(a, b, t):
+    return a + (b - a) * t
+
+
+def _u32_to_f32(word):
+    """Bit-exact uint32 -> float32 value cast (Mosaic has no direct lowering).
+
+    ``hi * 2^16`` is exact in f32 and the single rounding in the add matches
+    the round-to-nearest-even of a native cast, so this reproduces
+    ``word.astype(float32)`` bit-for-bit — keeping the kernel's PCG stream
+    identical to ``core.rng.uniform``."""
+    hi = (word >> np.uint32(16)).astype(jnp.int32).astype(_F32)
+    lo = (word & np.uint32(0xFFFF)).astype(jnp.int32).astype(_F32)
+    return hi * np.float32(65536.0) + lo
+
+
+def _pcg(state):
+    """One PCG step per lane (vectorized ``core.rng.uniform``)."""
+    state = state * _MULT + _INC
+    shift = (state >> np.uint32(28)) + np.uint32(4)
+    word = ((state >> shift) ^ state) * _XSH
+    return state, _u32_to_f32((word >> np.uint32(22)) ^ word) * _INV_U32
+
+
+# Scene-table field layouts (columns of the packed SMEM tables).
+# Sphere row: cx cy cz r | col3 spec3 emi3 sstr rough eta mtype  (17)
+SPH_COLS = 17
+# Quad row: q3 u3 v3 n3 d w3 | col3 spec3 emi3 sstr rough eta mtype (29)
+QUAD_COLS = 29
+
+
+def _mat_cols(materials, mid):
+    """Gather one material row (13 cols) at XLA level for table packing."""
+    return [
+        materials.color[mid, 0], materials.color[mid, 1],
+        materials.color[mid, 2],
+        materials.specular_color[mid, 0], materials.specular_color[mid, 1],
+        materials.specular_color[mid, 2],
+        materials.emission[mid, 0], materials.emission[mid, 1],
+        materials.emission[mid, 2],
+        materials.specular_strength[mid], materials.roughness[mid],
+        materials.eta[mid], materials.mtype[mid].astype(_F32),
+    ]
+
+
+def pack_tables(scene: SceneData):
+    """Flatten the scene into the kernel's SMEM tables (traced XLA ops)."""
+    sph = scene.spheres
+    if sph.count:
+        sph_tab = jnp.stack(
+            [sph.center[:, 0], sph.center[:, 1], sph.center[:, 2],
+             sph.radius] + _mat_cols(scene.materials, sph.material_id),
+            axis=1)
+    else:
+        sph_tab = jnp.zeros((1, SPH_COLS), _F32)
+    qd = scene.quads
+    if qd.count:
+        quad_tab = jnp.stack(
+            [qd.q[:, 0], qd.q[:, 1], qd.q[:, 2],
+             qd.u[:, 0], qd.u[:, 1], qd.u[:, 2],
+             qd.v[:, 0], qd.v[:, 1], qd.v[:, 2],
+             qd.normal[:, 0], qd.normal[:, 1], qd.normal[:, 2],
+             qd.d, qd.w[:, 0], qd.w[:, 1], qd.w[:, 2]]
+            + _mat_cols(scene.materials, qd.material_id), axis=1)
+    else:
+        quad_tab = jnp.zeros((1, QUAD_COLS), _F32)
+    li = jnp.clip(scene.light_index, 0, max(qd.count - 1, 0))
+    light_tab = (jnp.concatenate([qd.q[li], qd.u[li], qd.v[li]])[None]
+                 if qd.count else jnp.zeros((1, 9), _F32))
+    return sph_tab, quad_tab, light_tab
+
+
+def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
+                 meta: SceneMeta, spp: int):
+    """Build the kernel body with all static facts baked in."""
+    w = np.float32(cfg.width)
+    h = np.float32(cfg.height)
+    aspect = np.float32(w / h)
+    fov_factor = np.float32(
+        1.0 / math.tan(cfg.fov_degrees * (PI / 180.0) / 2.0))
+    t_min = np.float32(cfg.t_min)
+    t_max = np.float32(cfg.t_max)
+    inf = np.float32(cfg.t_max * 1.01)
+    bg = np.asarray(cfg.background, np.float32)
+    p_light = np.float32(cfg.light_sample_prob)
+    inv_pi = np.float32(1.0 / PI)
+    two_pi = np.float32(2.0 * PI)
+    use_nee = cfg.importance_sampling and meta.has_light
+    has_volumes = meta.has_volumes
+    grid_n = max(int(cfg.samples_per_pixel ** 0.5), 1) if cfg.stratify else 1
+    sub_scale = np.float32(1.0 / grid_n)
+
+    def kernel(sph_ref, quad_ref, light_ref, cam_ref, st_ref, px_ref, py_ref,
+               r_ref, g_ref, b_ref):
+        # Camera basis columns + origin (shaders/main.wgsl:8,
+        # shootRay.wgsl:54-60) — SMEM scalars broadcast per use.
+        b0x, b0y, b0z = cam_ref[0, 0], cam_ref[1, 0], cam_ref[2, 0]
+        b1x, b1y, b1z = cam_ref[0, 1], cam_ref[1, 1], cam_ref[2, 1]
+        b2x, b2y, b2z = cam_ref[0, 2], cam_ref[1, 2], cam_ref[2, 2]
+        eyex, eyey, eyez = cam_ref[0, 3], cam_ref[1, 3], cam_ref[2, 3]
+
+        pxf = px_ref[:].astype(_F32)
+        pyf = py_ref[:].astype(_F32)
+        state0 = st_ref[:]
+
+        def sphere_hit_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r):
+            """Closest valid sphere root per lane (common.wgsl:29-52)."""
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            half_b = _dot3(dx, dy, dz, ocx, ocy, ocz)
+            c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
+            disc = half_b * half_b - a * c
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            inv_a = jnp.reciprocal(a)
+            r0 = (-half_b - sq) * inv_a
+            r1 = (-half_b + sq) * inv_a
+            near_ok = (r0 > t_min) & (r0 < t_max)
+            root = jnp.where(near_ok, r0, r1)
+            ok = (disc >= 0.0) & (root > t_min) & (root < t_max)
+            return jnp.where(ok, root, inf)
+
+        def quad_fields(i):
+            qr = quad_ref
+            return ((qr[i, 0], qr[i, 1], qr[i, 2]),
+                    (qr[i, 3], qr[i, 4], qr[i, 5]),
+                    (qr[i, 6], qr[i, 7], qr[i, 8]),
+                    (qr[i, 9], qr[i, 10], qr[i, 11]),
+                    qr[i, 12],
+                    (qr[i, 13], qr[i, 14], qr[i, 15]))
+
+        def quad_hit_t(ox, oy, oz, dx, dy, dz, q, u, v, n, d, wv):
+            """One-sided quad test (common.wgsl:148-187)."""
+            denom = n[0] * dx + n[1] * dy + n[2] * dz
+            t = (d - (n[0] * ox + n[1] * oy + n[2] * oz)) / denom
+            rx = ox + t * dx - q[0]
+            ry = oy + t * dy - q[1]
+            rz = oz + t * dz - q[2]
+            # alpha = w . (rel x v); beta = w . (u x rel)
+            cx, cy, cz = _cross3(rx, ry, rz, v[0], v[1], v[2])
+            alpha = wv[0] * cx + wv[1] * cy + wv[2] * cz
+            cx, cy, cz = _cross3(u[0], u[1], u[2], rx, ry, rz)
+            beta = wv[0] * cx + wv[1] * cy + wv[2] * cz
+            ok = ((denom <= 0.0) & (jnp.abs(denom) >= 1e-8)
+                  & (t > t_min) & (t < t_max)
+                  & (alpha >= 0.0) & (alpha <= 1.0)
+                  & (beta >= 0.0) & (beta <= 1.0))
+            return jnp.where(ok, t, inf)
+
+        def bounce_step(state, ox, oy, oz, dx, dy, dz,
+                        rad, thr, alive, bounce_idx):
+            """One bounce — plane-form of integrator.path_tracer.trace."""
+            zero = jnp.zeros_like(ox)
+
+            # ---- hit pass: unrolled primitive loop, select-merged winner.
+            t_best = jnp.full_like(ox, inf)
+            # Selected per-lane planes (kind: 0 miss, 1 sphere, 2 quad,
+            # 3 volume).
+            kind = zero
+            scx, scy, scz, sr = zero, zero, zero, zero + 1.0
+            qnx, qny, qnz = zero, zero, zero
+            mat = [zero] * 13  # col3 spec3 emi3 sstr rough eta mtype
+
+            for i in range(n_spheres):
+                cx, cy, cz = sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2]
+                r = sph_ref[i, 3]
+                mrow = [sph_ref[i, 4 + k] for k in range(13)]
+                t = sphere_hit_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r)
+                if has_volumes:
+                    # Solid pass skips ISOTROPIC spheres (hitRay.wgsl:8-24);
+                    # mtype is an SMEM scalar so this is a scalar select.
+                    t = jnp.where(mrow[12] == float(ISOTROPIC), inf, t)
+                win = t < t_best
+                t_best = jnp.where(win, t, t_best)
+                kind = jnp.where(win, 1.0, kind)
+                scx = jnp.where(win, cx, scx)
+                scy = jnp.where(win, cy, scy)
+                scz = jnp.where(win, cz, scz)
+                sr = jnp.where(win, r, sr)
+                mat = [jnp.where(win, mrow[k], mat[k]) for k in range(13)]
+
+            for i in range(n_quads):
+                q, u, v, n, d, wv = quad_fields(i)
+                mrow = [quad_ref[i, 16 + k] for k in range(13)]
+                t = quad_hit_t(ox, oy, oz, dx, dy, dz, q, u, v, n, d, wv)
+                win = t < t_best
+                t_best = jnp.where(win, t, t_best)
+                kind = jnp.where(win, 2.0, kind)
+                qnx = jnp.where(win, n[0], qnx)
+                qny = jnp.where(win, n[1], qny)
+                qnz = jnp.where(win, n[2], qnz)
+                mat = [jnp.where(win, mrow[k], mat[k]) for k in range(13)]
+
+            if has_volumes:
+                # Volumetric pass clipped by the final solid distance —
+                # same construction as kernels.hit.find_hit (free-flight
+                # memorylessness makes it order-independent).  One uniform
+                # per sphere per lane, same draw order as the wavefront.
+                ray_len = jnp.sqrt(jnp.maximum(
+                    _dot3(dx, dy, dz, dx, dy, dz), 1e-20))
+                for i in range(n_spheres):
+                    state, uu = _pcg(state)
+                    cx, cy, cz = sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2]
+                    r = sph_ref[i, 3]
+                    mrow = [sph_ref[i, 4 + k] for k in range(13)]
+                    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                    a = _dot3(dx, dy, dz, dx, dy, dz)
+                    half_b = _dot3(dx, dy, dz, ocx, ocy, ocz)
+                    c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
+                    disc = half_b * half_b - a * c
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    inv_a = jnp.reciprocal(a)
+                    r0 = (-half_b - sq) * inv_a
+                    r1 = (-half_b + sq) * inv_a
+                    ok = (disc >= 0.0) & (r1 > r0 + 0.0001)
+                    rec1 = jnp.maximum(r0, t_min)
+                    rec2 = jnp.minimum(r1, t_best)
+                    ok = ok & (rec1 < rec2)
+                    rec1 = jnp.maximum(rec1, 0.0)
+                    dist_inside = (rec2 - rec1) * ray_len
+                    neg_inv_density = mrow[10]  # roughness channel
+                    hit_dist = neg_inv_density * jnp.log(
+                        jnp.maximum(uu, 1e-12))
+                    ok = ok & (hit_dist <= dist_inside)
+                    tv = rec1 + hit_dist / ray_len
+                    tv = jnp.where(ok, tv, inf)
+                    # Only ISOTROPIC spheres scatter volumetrically.
+                    tv = jnp.where(mrow[12] == float(ISOTROPIC), tv, inf)
+                    win = tv < t_best
+                    t_best = jnp.where(win, tv, t_best)
+                    kind = jnp.where(win, 3.0, kind)
+                    scx = jnp.where(win, cx, scx)
+                    scy = jnp.where(win, cy, scy)
+                    scz = jnp.where(win, cz, scz)
+                    sr = jnp.where(win, r, sr)
+                    mat = [jnp.where(win, mrow[k], mat[k])
+                           for k in range(13)]
+
+            hit = kind > 0.5
+            # ---- shading frame (kernels.hit.shade_hit).
+            hx = ox + t_best * dx
+            hy = oy + t_best * dy
+            hz = oz + t_best * dz
+            snx, sny, snz = _norm3(hx - scx, hy - scy, hz - scz)
+            is_quad = kind == 2.0
+            nx = jnp.where(is_quad, qnx, snx)
+            ny = jnp.where(is_quad, qny, sny)
+            nz = jnp.where(is_quad, qnz, snz)
+            is_vol_lane = kind == 3.0
+            front = (_dot3(dx, dy, dz, nx, ny, nz) < 0.0) | is_vol_lane
+            flip = jnp.where(front, 1.0, -1.0)
+            nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+            # ---- miss / emission accumulation (traceRay.wgsl:12-22).
+            miss = alive & ~hit
+            for k in range(3):
+                rad[k] = rad[k] + jnp.where(miss, bg[k] * thr[k], 0.0)
+            live = alive & hit
+            emit_scale = jnp.where(front, 1.0, 0.0)
+            for k in range(3):
+                rad[k] = rad[k] + jnp.where(
+                    live, mat[6 + k] * emit_scale * thr[k], 0.0)
+
+            # ---- material_scatter (integrator.bsdf), exact draw order.
+            sstr, rough, eta, mtype = mat[9], mat[10], mat[11], mat[12]
+            # ONB about the shading normal (importanceSampling.wgsl:60-67).
+            big_x = jnp.abs(nx) > 0.9
+            axx = jnp.where(big_x, 0.0, 1.0)
+            axy = jnp.where(big_x, 1.0, 0.0)
+            ovx, ovy, ovz = _norm3(*_cross3(nx, ny, nz, axx, axy, zero))
+            oux, ouy, ouz = _cross3(nx, ny, nz, ovx, ovy, ovz)
+            # cosine_wrt_z draws (r1, r2).
+            state, r1 = _pcg(state)
+            state, r2 = _pcg(state)
+            phi = two_pi * r1
+            sq = jnp.sqrt(r2)
+            lx = jnp.cos(phi) * sq
+            ly = jnp.sin(phi) * sq
+            lz = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
+            ddx, ddy, ddz = _norm3(oux * lx + ovx * ly + nx * lz,
+                                   ouy * lx + ovy * ly + ny * lz,
+                                   ouz * lx + ovz * ly + nz * lz)
+            state, u_spec = _pcg(state)
+            do_spec = jnp.where(u_spec < sstr, 1.0, 0.0)
+            rfx, rfy, rfz = _reflect3(dx, dy, dz, nx, ny, nz)
+            spx, spy, spz = _norm3(_mix(rfx, ddx, rough),
+                                   _mix(rfy, ddy, rough),
+                                   _mix(rfz, ddz, rough))
+            lamx, lamy, lamz = _norm3(_mix(ddx, spx, do_spec),
+                                      _mix(ddy, spy, do_spec),
+                                      _mix(ddz, spz, do_spec))
+            lam_skip = do_spec > 0.5
+            # MIRROR — fuzz draw (uniform_in_unit_sphere: r1, r2).
+            state, f1 = _pcg(state)
+            state, f2 = _pcg(state)
+            fphi = f1 * two_pi
+            fcos = jnp.clip(2.0 * f2 - 1.0, -1.0, 1.0)
+            fsin = jnp.sqrt(jnp.maximum(1.0 - fcos * fcos, 0.0))
+            fx = fsin * jnp.cos(fphi)
+            fy = fsin * jnp.sin(fphi)
+            fz = fcos
+            mrx, mry, mrz = _norm3(rfx + rough * fx, rfy + rough * fy,
+                                   rfz + rough * fz)
+            # GLASS (scatterRay.wgsl:44-71).
+            ir = jnp.where(front, jnp.reciprocal(jnp.maximum(eta, 1e-8)),
+                           eta)
+            ux, uy, uz = _norm3(dx, dy, dz)
+            cos_t = jnp.minimum(-_dot3(ux, uy, uz, nx, ny, nz), 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            state, u_refl = _pcg(state)
+            r0s = (1.0 - ir) / (1.0 + ir)
+            r0s = r0s * r0s
+            one_m = 1.0 - cos_t
+            schlick = r0s + (1.0 - r0s) * (one_m * one_m) * (
+                one_m * one_m) * one_m
+            must_reflect = (ir * sin_t > 1.0) | (schlick > u_refl)
+            grx, gry, grz = _reflect3(ux, uy, uz, nx, ny, nz)
+            # refract (vecmath.refract): perp + parallel components.
+            rpx = ir * (ux + cos_t * nx)
+            rpy = ir * (uy + cos_t * ny)
+            rpz = ir * (uz + cos_t * nz)
+            par = -jnp.sqrt(jnp.maximum(
+                0.0, 1.0 - _dot3(rpx, rpy, rpz, rpx, rpy, rpz)))
+            gtx = rpx + par * nx
+            gty = rpy + par * ny
+            gtz = rpz + par * nz
+            glx, gly, glz = _norm3(jnp.where(must_reflect, grx, gtx),
+                                   jnp.where(must_reflect, gry, gty),
+                                   jnp.where(must_reflect, grz, gtz))
+            # ISOTROPIC — HG phase about the incident dir.
+            state, u_hg = _pcg(state)
+            g = sstr
+            safe_g = jnp.where(jnp.abs(g) < 1e-4, 1.0, g)
+            frac = (1.0 - g * g) / (1.0 - g + 2.0 * g * u_hg)
+            hg_gen = (1.0 + g * g - frac * frac) / (2.0 * safe_g)
+            cos_hg = jnp.clip(jnp.where(jnp.abs(g) < 1e-4, 1.0 - 2.0 * u_hg,
+                                        hg_gen), -1.0, 1.0)
+            sin_hg = jnp.sqrt(jnp.maximum(1.0 - cos_hg * cos_hg, 0.0))
+            state, u_phi = _pcg(state)
+            hphi = two_pi * u_phi
+            hlx = sin_hg * jnp.cos(hphi)
+            hly = sin_hg * jnp.sin(hphi)
+            hlz = cos_hg
+            wux, wuy, wuz = _norm3(dx, dy, dz)
+            big_wx = jnp.abs(wux) > 0.9
+            waxx = jnp.where(big_wx, 0.0, 1.0)
+            waxy = jnp.where(big_wx, 1.0, 0.0)
+            wvx, wvy, wvz = _norm3(*_cross3(wux, wuy, wuz, waxx, waxy, zero))
+            wuxx, wuxy, wuxz = _cross3(wux, wuy, wuz, wvx, wvy, wvz)
+            isx, isy, isz = _norm3(wuxx * hlx + wvx * hly + wux * hlz,
+                                   wuxy * hlx + wvy * hly + wuy * hlz,
+                                   wuxz * hlx + wvz * hly + wuz * hlz)
+            # Select by material type (bsdf.material_scatter:123-131).
+            is_lam = mtype == float(LAMBERTIAN)
+            is_mir = mtype == float(MIRROR)
+            is_gls = mtype == float(GLASS)
+            sdx = jnp.where(is_lam, lamx,
+                            jnp.where(is_mir, mrx,
+                                      jnp.where(is_gls, glx, isx)))
+            sdy = jnp.where(is_lam, lamy,
+                            jnp.where(is_mir, mry,
+                                      jnp.where(is_gls, gly, isy)))
+            sdz = jnp.where(is_lam, lamz,
+                            jnp.where(is_mir, mrz,
+                                      jnp.where(is_gls, glz, isz)))
+            skip_pdf = lam_skip | ~is_lam  # non-lambertian always skips MIS
+            dsf = jnp.where(is_lam, do_spec, 0.0)
+            att = [_mix(mat[k], mat[3 + k], dsf) for k in range(3)]
+
+            if use_nee:
+                # NEE/MIS mixing for diffuse lanes (traceRay.wgsl:26-57).
+                lq = [light_ref[0, k] for k in range(3)]
+                lu = [light_ref[0, 3 + k] for k in range(3)]
+                lv = [light_ref[0, 6 + k] for k in range(3)]
+                state, lr1 = _pcg(state)
+                state, lr2 = _pcg(state)
+                ldx = lq[0] + lr1 * lu[0] + lr2 * lv[0] - hx
+                ldy = lq[1] + lr1 * lu[1] + lr2 * lv[1] - hy
+                ldz = lq[2] + lr1 * lu[2] + lr2 * lv[2] - hz
+                ldx, ldy, ldz = _norm3(ldx, ldy, ldz)
+                state, u_mix = _pcg(state)
+                take_bsdf = u_mix > p_light
+                chx = jnp.where(take_bsdf, ddx, ldx)
+                chy = jnp.where(take_bsdf, ddy, ldy)
+                chz = jnp.where(take_bsdf, ddz, ldz)
+                lam_pdf = jnp.maximum(
+                    0.0, _dot3(chx, chy, chz, nx, ny, nz) * inv_pi)
+                # quad_light_pdf (importanceSampling.wgsl:88-125).
+                nrx, nry, nrz = _cross3(lu[0], lu[1], lu[2],
+                                        lv[0], lv[1], lv[2])
+                n_len = jnp.sqrt(jnp.maximum(
+                    nrx * nrx + nry * nry + nrz * nrz, 1e-20))
+                lnx, lny, lnz = nrx / n_len, nry / n_len, nrz / n_len
+                d_plane = lnx * lq[0] + lny * lq[1] + lnz * lq[2]
+                inv_nn = 1.0 / jnp.maximum(
+                    nrx * nrx + nry * nry + nrz * nrz, 1e-20)
+                lwx, lwy, lwz = nrx * inv_nn, nry * inv_nn, nrz * inv_nn
+                denom = lnx * chx + lny * chy + lnz * chz
+                tl = (d_plane - (lnx * hx + lny * hy + lnz * hz)) / denom
+                prx = hx + tl * chx - lq[0]
+                pry = hy + tl * chy - lq[1]
+                prz = hz + tl * chz - lq[2]
+                ccx, ccy, ccz = _cross3(prx, pry, prz, lv[0], lv[1], lv[2])
+                alpha = lwx * ccx + lwy * ccy + lwz * ccz
+                ccx, ccy, ccz = _cross3(lu[0], lu[1], lu[2], prx, pry, prz)
+                beta = lwx * ccx + lwy * ccy + lwz * ccz
+                valid = ((denom <= 0.0) & (jnp.abs(denom) >= 1e-8)
+                         & (tl > 0.001) & (tl < t_max)
+                         & (alpha >= 0.0) & (alpha <= 1.0)
+                         & (beta >= 0.0) & (beta <= 1.0))
+                dist_sq = tl * tl  # chosen dir is unit length
+                cosine = jnp.abs(denom)
+                l_pdf = jnp.where(
+                    valid, dist_sq / jnp.maximum(cosine * n_len, 1e-20),
+                    np.float32(0.0001))
+                pdf = p_light * l_pdf + (1.0 - p_light) * lam_pdf
+                degenerate = pdf <= 1e-5
+                inv_pdf = jnp.reciprocal(jnp.maximum(pdf, 1e-12))
+                use_mis = live & ~skip_pdf
+                ndx = jnp.where(use_mis, chx, sdx)
+                ndy = jnp.where(use_mis, chy, sdy)
+                ndz = jnp.where(use_mis, chz, sdz)
+                mis_w = lam_pdf * inv_pdf
+                nthr = [jnp.where(use_mis, thr[k] * mis_w * att[k],
+                                  thr[k] * att[k]) for k in range(3)]
+                live = live & ~(use_mis & degenerate)
+            else:
+                ndx, ndy, ndz = sdx, sdy, sdz
+                nthr = [thr[k] * att[k] for k in range(3)]
+
+            thr = [jnp.where(live, nthr[k], thr[k]) for k in range(3)]
+            ox = jnp.where(live, hx, ox)
+            oy = jnp.where(live, hy, oy)
+            oz = jnp.where(live, hz, oz)
+            dx = jnp.where(live, ndx, dx)
+            dy = jnp.where(live, ndy, dy)
+            dz = jnp.where(live, ndz, dz)
+            alive = live
+
+            # ---- Russian roulette (traceRay.wgsl:70-79).
+            state, u_rr = _pcg(state)
+            p_surv = jnp.maximum(jnp.maximum(thr[0], thr[1]), thr[2])
+            rr_on = bounce_idx >= cfg.rr_start_bounce
+            kill = rr_on & (u_rr > p_surv) & alive
+            alive = alive & ~kill
+            comp = rr_on & alive
+            inv_p = jnp.reciprocal(jnp.maximum(p_surv, 1e-12))
+            thr = [jnp.where(comp, thr[k] * inv_p, thr[k]) for k in range(3)]
+            return state, ox, oy, oz, dx, dy, dz, rad, thr, alive
+
+        def one_sample(state, sample_idx):
+            """Camera ray + full bounce loop for one sample per lane."""
+            state, u1 = _pcg(state)
+            state, u2 = _pcg(state)
+            if cfg.stratify:
+                offx = (sample_idx // grid_n).astype(_F32)
+                offy = jnp.remainder(sample_idx, grid_n).astype(_F32)
+                jx = sub_scale * (offx + u1)
+                jy = sub_scale * (offy + u2)
+            else:
+                jx, jy = u1, u2
+            s = aspect * (2.0 * ((pxf - 0.5 + jx) / w) - 1.0)
+            t = -(2.0 * ((pyf - 0.5 + jy) / h) - 1.0)
+            dx = s * b0x + t * b1x - fov_factor * b2x
+            dy = s * b0y + t * b1y - fov_factor * b2y
+            dz = s * b0z + t * b1z - fov_factor * b2z
+            dx, dy, dz = _norm3(dx, dy, dz)
+            ox = jnp.zeros_like(dx) + eyex
+            oy = jnp.zeros_like(dx) + eyey
+            oz = jnp.zeros_like(dx) + eyez
+            zero = jnp.zeros_like(dx)
+            rad = [zero, zero, zero]
+            one = zero + 1.0
+            thr = [one, one, one]
+            alive = jnp.ones_like(dx, jnp.bool_)
+
+            def body(i, carry):
+                # Liveness rides the carry as f32 — Mosaic cannot legalize
+                # i1-vector loop carries ("failed to legalize scf.for").
+                state, ox, oy, oz, dx, dy, dz, r0, r1c, r2c, t0, t1, t2, \
+                    alive_f = carry
+                state, ox, oy, oz, dx, dy, dz, radl, thrl, alive = \
+                    bounce_step(state, ox, oy, oz, dx, dy, dz,
+                                [r0, r1c, r2c], [t0, t1, t2],
+                                alive_f > 0.5, i)
+                return (state, ox, oy, oz, dx, dy, dz, radl[0], radl[1],
+                        radl[2], thrl[0], thrl[1], thrl[2],
+                        jnp.where(alive, 1.0, 0.0))
+
+            carry = (state, ox, oy, oz, dx, dy, dz, rad[0], rad[1], rad[2],
+                     thr[0], thr[1], thr[2], jnp.where(alive, 1.0, 0.0))
+            carry = jax.lax.fori_loop(0, cfg.max_bounces, body, carry)
+            state = carry[0]
+            return state, carry[7], carry[8], carry[9]
+
+        def sample_loop(k, carry):
+            state, ar, ag, ab = carry
+            state, rr, rg, rb = one_sample(state, k)
+            return state, ar + rr, ag + rg, ab + rb
+
+        zero = jnp.zeros_like(pxf)
+        state, ar, ag, ab = jax.lax.fori_loop(
+            0, spp, sample_loop, (state0, zero, zero, zero))
+        inv_spp = np.float32(1.0 / spp)
+        r_ref[:] = ar * inv_spp
+        g_ref[:] = ag * inv_spp
+        b_ref[:] = ab * inv_spp
+
+    return kernel
+
+
+def supported(scene: SceneData, meta: SceneMeta, cfg: RenderConfig) -> bool:
+    """Whether the megakernel covers this (scene, config)."""
+    return (int(scene.triangles.count) == 0
+            and int(scene.spheres.count) + int(scene.quads.count) > 0)
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "cfg", "interpret"))
+def path_trace_pixels_pallas(rand_state, view_matrix, px, py,
+                             scene: SceneData, meta: SceneMeta,
+                             cfg: RenderConfig, interpret: bool = False):
+    """Drop-in Pallas replacement for ``integrator.render.path_trace_pixels``
+    on analytic scenes.  Returns radiance ``[N, 3]`` (the trailing RNG state
+    is not returned; callers discard it).  ``interpret=True`` runs the Mosaic
+    interpreter — used by CPU tests."""
+    n = px.shape[0]
+    tile = TILE_ROWS * LANES
+    n_pad = -(-n // tile) * tile
+    rows = n_pad // LANES
+
+    def pad2d(x, dtype):
+        x = jnp.pad(x.astype(dtype), (0, n_pad - n))
+        return x.reshape(rows, LANES)
+
+    st2 = pad2d(rand_state, jnp.uint32)
+    px2 = pad2d(px, jnp.int32)
+    py2 = pad2d(py, jnp.int32)
+    sph_tab, quad_tab, light_tab = pack_tables(scene)
+    cam = view_matrix.astype(_F32)
+
+    spp = (max(int(cfg.samples_per_pixel ** 0.5), 1) ** 2
+           if cfg.stratify else cfg.samples_per_pixel)
+    kernel = _make_kernel(int(scene.spheres.count), int(scene.quads.count),
+                          cfg, meta, spp)
+
+    grid = (rows // TILE_ROWS,)
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    lane_spec = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((rows, LANES), _F32)
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem(), smem(), smem(), smem(),
+                  lane_spec, lane_spec, lane_spec],
+        out_specs=(lane_spec, lane_spec, lane_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=interpret,
+    )(sph_tab, quad_tab, light_tab, cam, st2, px2, py2)
+    radiance = jnp.stack([r.reshape(-1)[:n], g.reshape(-1)[:n],
+                          b.reshape(-1)[:n]], axis=-1)
+    return radiance

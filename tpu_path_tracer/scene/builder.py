@@ -219,7 +219,9 @@ class SceneBuilder:
                     prim_start=jnp.asarray(arrs.prim_start),
                     prim_count=jnp.asarray(arrs.prim_count),
                     miss=jnp.asarray(arrs.miss),
-                    axis=jnp.asarray(arrs.axis))
+                    axis=jnp.asarray(arrs.axis),
+                    prim_lo=jnp.asarray(arrs.prim_lo),
+                    prim_hi=jnp.asarray(arrs.prim_hi))
                 traversal = "bvh"
                 leaf_bound = int(arrs.prim_count.max())
         triangles = Triangles(
