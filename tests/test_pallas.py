@@ -1,0 +1,113 @@
+"""Pallas kernel parity tests (Mosaic interpreter on CPU).
+
+The fused megakernel (``kernels/pallas/megakernel.py``) documents a
+draw-for-draw semantics contract with the wavefront integrator: same PCG
+stream, same draw order, same bounce algebra.  These tests hold it to that
+contract pixel-for-pixel (up to float reassociation) on the reference's two
+analytic scene families.  The tile-frustum traversal kernel
+(``kernels/pallas/traversal.py``) is only required to be *conservative* —
+it must find the same closest hit as the jnp skip-link walk
+(``kernels/traversal.py``) on every lane.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpu_path_tracer as tpt
+from tpu_path_tracer.core import rng
+from tpu_path_tracer.integrator.render import path_trace_pixels
+
+
+def _pixel_grid(w, h):
+    n = w * h
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    px = (pix % jnp.uint32(w)).astype(jnp.int32)
+    py = (pix // jnp.uint32(w)).astype(jnp.int32)
+    return n, pix, px, py
+
+
+def _run_both(scene, meta, cfg, eye):
+    from tpu_path_tracer.kernels.pallas.megakernel import (
+        path_trace_pixels_pallas, supported)
+
+    assert supported(scene, meta, cfg)
+    cam = tpt.Camera(eye=eye, center=[0, 0, 0])
+    view = jnp.asarray(cam.view_matrix)
+    n, pix, px, py = _pixel_grid(cfg.width, cfg.height)
+    rs = rng.seed(pix, jnp.int32(3))
+    _, ref = path_trace_pixels(rs, view, px, py, scene, meta, cfg)
+    got = path_trace_pixels_pallas(rs, view, px, py, scene, meta, cfg,
+                                   interpret=True)
+    return np.asarray(ref), np.asarray(got)
+
+
+@pytest.mark.parametrize("nee", [False, True])
+def test_megakernel_matches_wavefront_cornell(nee):
+    scene, meta, _ = tpt.builtin.cornell_box()
+    cfg = tpt.RenderConfig(width=16, height=8, max_bounces=4,
+                           importance_sampling=nee)
+    ref, got = _run_both(scene, meta, cfg, eye=[0, 0, 3.2])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_megakernel_matches_wavefront_reference_scene():
+    # Fog volumes + glass shells + mirror quad — all four BSDFs live.
+    scene, meta, _ = tpt.builtin.reference_scene(include_mesh=False)
+    cfg = tpt.RenderConfig(width=16, height=8, max_bounces=4)
+    ref, got = _run_both(scene, meta, cfg, eye=[0.5, 0.0, 2.5])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_megakernel_stratified_spp():
+    scene, meta, _ = tpt.builtin.cornell_box()
+    cfg = tpt.RenderConfig(width=8, height=8, max_bounces=3,
+                           samples_per_pixel=4, stratify=True)
+    ref, got = _run_both(scene, meta, cfg, eye=[0, 0, 3.2])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_tile_traversal_matches_jnp_walk():
+    from tpu_path_tracer.accel import bvh as bvh_mod
+    from tpu_path_tracer.core.config import LAMBERTIAN
+    from tpu_path_tracer.kernels import traversal as jnp_trav
+    from tpu_path_tracer.kernels.pallas.traversal import (
+        pack_nodes, pack_tris, tile_closest_hit)
+    from tpu_path_tracer.scene import procedural
+    from tpu_path_tracer.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    m = b.add_material("white", LAMBERTIAN, [0.7, 0.7, 0.7])
+    b.add_mesh(procedural.icosphere(subdivisions=2, radius=0.8), m)
+    scene, meta = b.build(bvh="median")
+    tris, bvh = scene.triangles, scene.bvh
+
+    # Coherent primary-ray bundle plus scattered origins (off-axis lanes
+    # exercise the conservative frustum path and misses).
+    k = np.random.default_rng(11)
+    n = 1024
+    origin = np.tile(np.array([[0.0, 0.0, 3.0]], np.float32), (n, 1))
+    origin[n // 2:] = k.uniform(-2, 2, (n // 2, 3)).astype(np.float32)
+    target = k.uniform(-1, 1, (n, 3)).astype(np.float32)
+    d = target - origin
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    origin = jnp.asarray(origin)
+    direction = jnp.asarray(d)
+    t0 = jnp.full((n,), 1e9, jnp.float32)
+
+    t_ref, i_ref = jnp_trav.bvh_closest_hit(
+        origin, direction, bvh, tris, 1e-4, t0, meta.max_leaf)
+    t_got, i_got = tile_closest_hit(
+        origin, direction, pack_nodes(bvh), pack_tris(tris), t0,
+        t_min=1e-4, n_tris=int(tris.count), n_nodes_real=int(bvh.count),
+        interpret=True)
+
+    i_ref, i_got = np.asarray(i_ref), np.asarray(i_got)
+    hit_ref = i_ref >= 0
+    np.testing.assert_array_equal(i_got >= 0, hit_ref)
+    # Same surface point (t), allowing different triangle index on shared
+    # edges where Möller-Trumbore epsilons differ.
+    np.testing.assert_allclose(np.asarray(t_got)[hit_ref],
+                               np.asarray(t_ref)[hit_ref],
+                               rtol=1e-5, atol=1e-5)

@@ -53,8 +53,9 @@ class RenderConfig:
     # TPU-specific knobs (no reference equivalent):
     #   ray batch padding multiple — keeps lanes aligned to the 8x128 VPU tile.
     lane_multiple: int = 1024
-    # Use the Pallas fused intersector where available (falls back to jnp).
-    use_pallas: bool = False
+    # Use the Pallas kernels where available (BVH tile traversal; gated on
+    # the TPU backend at trace time, falls back to jnp elsewhere).
+    use_pallas: bool = True
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -333,7 +333,7 @@ def tile_closest_hit(origin, direction, nodes_packed, tris_packed,
     kernel = _kernel(t_min, n_nodes, n_tris, n_tris_pad)
     lane_spec = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     out_shape = jax.ShapeDtypeStruct((rows, LANES), _F32)
     t, idx = pl.pallas_call(
         kernel,

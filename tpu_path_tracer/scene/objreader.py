@@ -110,3 +110,19 @@ def load_obj(path: str) -> MeshData:
     ``objReader.js:10-14``)."""
     with open(path, "r") as f:
         return parse_obj(f.read())
+
+
+def save_obj(path: str, mesh: MeshData) -> None:
+    """Write flat de-indexed MeshData as a ``v``/``vn``/``f v//vn`` OBJ —
+    the exact dialect the reference's parser reads (``objReader.js:21-60``).
+    With :func:`parse_obj` this round-trips procedural geometry into real
+    asset files for tests and external tools."""
+    v = np.asarray(mesh.vertices, np.float32)
+    n = np.asarray(mesh.normals, np.float32)
+    lines = ["# tpu-path-tracer OBJ export"]
+    lines += [f"v {x:.9g} {y:.9g} {z:.9g}" for x, y, z in v]
+    lines += [f"vn {x:.9g} {y:.9g} {z:.9g}" for x, y, z in n]
+    lines += [f"f {i}//{i} {i+1}//{i+1} {i+2}//{i+2}"
+              for i in range(1, len(v) + 1, 3)]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
