@@ -6,27 +6,35 @@ BASELINE.md: 900x600 x 1 spp x 104 fps ≈ 56 Mray/s on the reference's
 browser GPU (forward only; our headline includes the full reverse-mode sweep
 w.r.t. emitter radiance + BSDF parameters, a strictly harder workload).
 
-Timing methodology (IMPORTANT): this runtime defers/pipelines device work in
-ways that make ``block_until_ready`` unreliable for wall-clock timing —
-un-materialized result chains measured 100-1000x faster than real execution.
-Every measurement here therefore (a) chains each step's output into the next
-step's input so no dispatch can be elided, and (b) ends with a full host
+Crash isolation (IMPORTANT): every workload runs in its OWN subprocess.  A
+TPU kernel fault kills the worker *process*, so in-process try/except cannot
+protect the already-computed numbers — round 1 lost its entire perf record
+this way (BENCH_r01.json rc=1/parsed=null).  The parent never touches the
+device; it collects per-child JSON and always emits the final line with
+``null`` + an error string for any workload that failed.  Exit code is 0
+whenever the parent itself ran, no matter what the children did.
+
+Timing methodology: this runtime defers/pipelines device work in ways that
+make ``block_until_ready`` unreliable for wall-clock timing — un-materialized
+result chains measured 100-1000x faster than real execution.  Every
+measurement therefore (a) chains each step's output into the next step's
+input so no dispatch can be elided, and (b) ends with a full host
 materialization (``np.asarray``), then reports the MARGINAL cost between a
 short and a long run so the one-time transfer cost cancels out.
 
 Workloads:
   * headline — analytic Cornell (spheres + quads + NEE/MIS), 512x512, 1 spp,
-    4 bounces, value_and_grad of an L2 image loss (wavefront integrator).
+    4 bounces, value_and_grad of an L2 image loss.
   * extras — forward-only wavefront, forward-only Pallas megakernel (the
     fused single-dispatch path), and a bunny-scale (82k tri) BVH mesh scene.
 """
 
 import json
+import subprocess
+import sys
 import time
 
-import numpy as np
-import jax
-import jax.numpy as jnp
+WORKLOAD_TIMEOUT_S = 1500  # first TPU compile can take minutes
 
 
 def _marginal(run, n1, n2):
@@ -38,6 +46,9 @@ def _marginal(run, n1, n2):
 
 def _chain_run(step, init):
     """Build run(iters): fold ``step`` serially and materialize the result."""
+    import numpy as np
+    import jax
+
     def run(iters):
         cur = init
         t0 = time.perf_counter()
@@ -49,6 +60,7 @@ def _chain_run(step, init):
 
 
 def _pixel_grid(width, height):
+    import jax.numpy as jnp
     n = width * height
     pix = jnp.arange(n, dtype=jnp.uint32)
     px = (pix % jnp.uint32(width)).astype(jnp.int32)
@@ -57,6 +69,9 @@ def _pixel_grid(width, height):
 
 
 def bench_fwd_bwd(width=512, height=512, bounces=4):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
     import tpu_path_tracer as tpt
     from tpu_path_tracer.core import rng
     from tpu_path_tracer.diff.params import apply_params, extract_params
@@ -96,10 +111,56 @@ def bench_fwd_bwd(width=512, height=512, bounces=4):
     init = (params, jnp.int32(1))
     jax.tree.map(np.asarray, step(init))  # compile + warm
     dt = _marginal(_chain_run(step, init), 2, 10)
-    return n / dt / 1e6, dt
+    return {"mrays": n / dt / 1e6, "step_ms": dt * 1e3}
+
+
+def bench_fwd_bwd_megakernel(width=512, height=512, bounces=4):
+    """Fused Pallas megakernel with its custom-VJP backward kernel."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import tpu_path_tracer as tpt
+    from tpu_path_tracer.core import rng
+    from tpu_path_tracer.diff.params import apply_params, extract_params
+    from tpu_path_tracer.integrator.render import path_trace_pixels
+
+    scene, meta, _ = tpt.builtin.cornell_box()
+    cfg = tpt.RenderConfig(width=width, height=height, max_bounces=bounces,
+                           importance_sampling=True, use_megakernel=True)
+    cam = tpt.Camera(eye=[0, 0, 3.2], center=[0, 0, 0])
+    view = jnp.asarray(cam.view_matrix)
+    n, pix, px, py = _pixel_grid(width, height)
+    params = extract_params(scene, groups=("emission", "bsdf"))
+    target = jnp.zeros((n, 3), jnp.float32)
+
+    def loss_fn(params, scene, pix, px, py, view, target, frame_num):
+        s = apply_params(scene, params)
+        rs = rng.seed(pix, frame_num)
+        _, radiance = path_trace_pixels(rs, view, px, py, s, meta, cfg)
+        return jnp.mean((radiance - target) ** 2)
+
+    vg = jax.value_and_grad(loss_fn)
+
+    @jax.jit
+    def train_step(params, frame_num, scene, pix, px, py, view, target):
+        loss, g = vg(params, scene, pix, px, py, view, target, frame_num)
+        params = jax.tree.map(lambda p, gg: p - 0.0 * gg, params, g)
+        return params, frame_num + jnp.int32(1)
+
+    def step(state):
+        p, f = state
+        return train_step(p, f, scene, pix, px, py, view, target)
+
+    init = (params, jnp.int32(1))
+    jax.tree.map(np.asarray, step(init))
+    dt = _marginal(_chain_run(step, init), 2, 10)
+    return {"mrays": n / dt / 1e6, "step_ms": dt * 1e3}
 
 
 def bench_fwd_wavefront(width=512, height=512, bounces=4):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
     import tpu_path_tracer as tpt
     from tpu_path_tracer.core import rng
     from tpu_path_tracer.integrator.render import path_trace_pixels
@@ -120,10 +181,13 @@ def bench_fwd_wavefront(width=512, height=512, bounces=4):
     step = lambda rs: frame(rs, view, px, py, scene)
     np.asarray(step(rs0))
     dt = _marginal(_chain_run(step, rs0), 3, 23)
-    return n / dt / 1e6, dt
+    return {"mrays": n / dt / 1e6, "step_ms": dt * 1e3}
 
 
 def bench_fwd_pallas(width=512, height=512, bounces=4):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
     import tpu_path_tracer as tpt
     from tpu_path_tracer.core import rng
     from tpu_path_tracer.kernels.pallas.megakernel import (
@@ -145,12 +209,15 @@ def bench_fwd_pallas(width=512, height=512, bounces=4):
     step = lambda rs: frame(rs, view, px, py, scene)
     np.asarray(step(rs0))
     dt = _marginal(_chain_run(step, rs0), 3, 23)
-    return n / dt / 1e6, dt
+    return {"mrays": n / dt / 1e6, "step_ms": dt * 1e3}
 
 
 def bench_mesh_bvh(width=512, height=512, bounces=4, subdivisions=6):
     """Bunny-scale triangle mesh (20*4^6 = 81,920 tris — the reference's
     bunny is 69,451, ``benchmarks.txt:1``) behind the BVH traversal path."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
     import tpu_path_tracer as tpt
     from tpu_path_tracer.core import rng
     from tpu_path_tracer.core.config import LAMBERTIAN, MIRROR
@@ -186,35 +253,118 @@ def bench_mesh_bvh(width=512, height=512, bounces=4, subdivisions=6):
     step = lambda rs: frame(rs, view, px, py, scene)
     np.asarray(step(rs0))
     dt = _marginal(_chain_run(step, rs0), 1, 5)
-    return n / dt / 1e6, dt, build_s, int(scene.triangles.count)
+    return {"mrays": n / dt / 1e6, "frame_ms": dt * 1e3,
+            "bvh_build_ms": build_s * 1e3,
+            "tris": int(scene.triangles.count)}
+
+
+def bench_scaling(width=256, height=256, bounces=4):
+    """Multi-device scaling efficiency on a virtual 8-device CPU mesh:
+    sharded train-step throughput on 8 devices vs 1 (north star: ≥80%)."""
+    import os
+    # Must run in its own subprocess: platform/device flags are set before
+    # JAX initializes.  This image's sitecustomize pins JAX_PLATFORMS=axon,
+    # so the platform is overridden through jax.config (as tests/conftest.py
+    # does), not just the env var.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from tpu_path_tracer.dist.render_dist import measure_scaling
+    return measure_scaling(width=width, height=height, bounces=bounces)
+
+
+WORKLOADS = {
+    "fwd_bwd": bench_fwd_bwd,
+    "fwd_bwd_megakernel": bench_fwd_bwd_megakernel,
+    "fwd_wavefront": bench_fwd_wavefront,
+    "fwd_pallas": bench_fwd_pallas,
+    "mesh_bvh": bench_mesh_bvh,
+    "scaling": bench_scaling,
+}
+
+
+def _run_child(name):
+    """Child-process entry: run one workload, print a JSON result line."""
+    try:
+        res = WORKLOADS[name]()
+        print("BENCH_RESULT " + json.dumps({"ok": True, "result": res}),
+              flush=True)
+    except Exception as e:  # noqa: BLE001 — report, parent decides
+        print("BENCH_RESULT " + json.dumps(
+            {"ok": False, "error": f"{type(e).__name__}: {e}"[:500]}),
+            flush=True)
+
+
+def _spawn(name):
+    """Run one workload in a subprocess; never raises."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--workload", name],
+            capture_output=True, text=True, timeout=WORKLOAD_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {WORKLOAD_TIMEOUT_S}s"
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("BENCH_RESULT "):
+            try:
+                payload = json.loads(line[len("BENCH_RESULT "):])
+            except json.JSONDecodeError:
+                break
+            if payload.get("ok"):
+                return payload["result"], None
+            return None, payload.get("error", "unknown error")
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+    return None, (f"process died rc={proc.returncode}: "
+                  + " | ".join(tail))[:500]
 
 
 def main():
-    device = jax.devices()[0]
-    fwd_bwd_mrays, step_s = bench_fwd_bwd()
-    wf_mrays, wf_s = bench_fwd_wavefront()
-    pk_mrays, pk_s = bench_fwd_pallas()
-    mesh_mrays, mesh_s, build_s, n_tris = bench_mesh_bvh()
+    results, errors = {}, {}
+    for name in WORKLOADS:
+        res, err = _spawn(name)
+        results[name] = res
+        if err:
+            errors[name] = err
+        print(f"# {name}: {res if res else 'FAILED: ' + str(err)}",
+              file=sys.stderr, flush=True)
+
+    def get(name, key):
+        r = results.get(name)
+        return round(r[key], 3) if r and key in r else None
+
+    # Headline = best available fwd+bwd number (megakernel path preferred).
+    headline = get("fwd_bwd_megakernel", "mrays") or get("fwd_bwd", "mrays")
     baseline = 56.0  # BASELINE.md derived anchor (fwd-only browser GPU)
     print(json.dumps({
         "metric": "Mray/s/chip fwd+bwd @4 bounces (Cornell 512x512, NEE)",
-        "value": round(fwd_bwd_mrays, 3),
+        "value": headline,
         "unit": "Mray/s",
-        "vs_baseline": round(fwd_bwd_mrays / baseline, 4),
+        "vs_baseline": (round(headline / baseline, 4)
+                        if headline is not None else None),
         "extra": {
-            "fwd_wavefront_mrays": round(wf_mrays, 3),
-            "fwd_pallas_megakernel_mrays": round(pk_mrays, 3),
-            "fwd_mesh_bvh_82k_tris_mrays": round(mesh_mrays, 3),
-            "fwd_bwd_step_ms": round(step_s * 1e3, 3),
-            "fwd_wavefront_ms": round(wf_s * 1e3, 3),
-            "fwd_pallas_ms": round(pk_s * 1e3, 3),
-            "mesh_frame_ms": round(mesh_s * 1e3, 3),
-            "mesh_bvh_build_ms": round(build_s * 1e3, 1),
-            "mesh_tris": n_tris,
-            "device": str(device),
+            "fwd_bwd_wavefront_mrays": get("fwd_bwd", "mrays"),
+            "fwd_bwd_megakernel_mrays": get("fwd_bwd_megakernel", "mrays"),
+            "fwd_wavefront_mrays": get("fwd_wavefront", "mrays"),
+            "fwd_pallas_megakernel_mrays": get("fwd_pallas", "mrays"),
+            "fwd_mesh_bvh_82k_tris_mrays": get("mesh_bvh", "mrays"),
+            "fwd_bwd_step_ms": get("fwd_bwd", "step_ms"),
+            "fwd_bwd_megakernel_step_ms": get("fwd_bwd_megakernel",
+                                              "step_ms"),
+            "fwd_wavefront_ms": get("fwd_wavefront", "step_ms"),
+            "fwd_pallas_ms": get("fwd_pallas", "step_ms"),
+            "mesh_frame_ms": get("mesh_bvh", "frame_ms"),
+            "mesh_bvh_build_ms": get("mesh_bvh", "bvh_build_ms"),
+            "mesh_tris": (results["mesh_bvh"] or {}).get("tris"),
+            "scaling_efficiency_8dev": get("scaling", "efficiency"),
+            "errors": errors or None,
         },
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--workload":
+        _run_child(sys.argv[2])
+    else:
+        main()

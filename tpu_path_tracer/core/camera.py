@@ -4,8 +4,9 @@ Feature parity with ``lib/camera.js``: ``set_camera`` builds a view matrix via
 ``mat4.targetTo`` (``lib/camera.js:32``); mouse-drag orbit rotates the eye
 about world Y (``:44-53``); wheel zoom translates the eye along the stored
 view direction (``:35-42``); arrow keys pan eye+center (``:55-74``).  The DOM
-event plumbing (``:76-133``) maps to plain methods here — the interactive
-driver lives in ``tpu_path_tracer.cli``.
+event plumbing (``:76-133``) maps to plain methods here; ``cli.py render
+--interactive`` drives them from terminal keys (the reference's orbit/zoom/pan
+bindings, accumulation reset included).
 
 The camera is pure host-side NumPy: its only output consumed by device code is
 the 4x4 ``view_matrix`` (column-basis [x, y, z, eye]), matching the single

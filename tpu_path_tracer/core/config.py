@@ -53,9 +53,13 @@ class RenderConfig:
     # TPU-specific knobs (no reference equivalent):
     #   ray batch padding multiple — keeps lanes aligned to the 8x128 VPU tile.
     lane_multiple: int = 1024
-    # Use the Pallas kernels where available (BVH tile traversal; gated on
-    # the TPU backend at trace time, falls back to jnp elsewhere).
+    # Use the Pallas chunk-sweep kernel for BVH triangle hits (gated on the
+    # TPU backend at trace time; falls back to jnp elsewhere).
     use_pallas: bool = True
+    # Route whole-frame tracing through the fused Pallas megakernel (with its
+    # custom-VJP backward kernel) when the scene supports it (analytic
+    # sphere/quad scenes); falls back to the wavefront integrator elsewhere.
+    use_megakernel: bool = False
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -52,8 +52,9 @@ def apply_params(scene: SceneData, params: Dict) -> SceneData:
 
     Note on geometry: moving triangle vertices invalidates BVH node bounds;
     gradients remain correct (the hit search is detached and re-run each
-    step) but for LARGE vertex updates the BVH should be refit — see
-    ``accel.refit``."""
+    step) but the BVH bounds should be refreshed with
+    ``accel.refit.refit_bvh`` (on-device range-min/max, no rebuild) so the
+    traversal does not cull moved triangles."""
     mats = scene.materials
     if "emission" in params:
         mats = mats._replace(emission=params["emission"])

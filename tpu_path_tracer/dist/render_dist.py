@@ -95,6 +95,73 @@ def make_sharded_loss_fn(mesh: Mesh, base_scene: SceneData, meta: SceneMeta,
         out_specs=P())
 
 
+def measure_scaling(width: int = 256, height: int = 256, bounces: int = 4,
+                    iters: int = 6):
+    """Scaling-efficiency harness (north star: ≥80% multi-device).
+
+    Times the sharded train step on a 1-device mesh vs the full visible mesh
+    and reports ``efficiency = throughput_N / (N * throughput_1)`` in
+    percent.  On real pod slices the mesh spans hosts after
+    ``sharding.init_distributed``; in CI it runs on the virtual-CPU mesh
+    (``--xla_force_host_platform_device_count``), where the number is an
+    upper-bound sanity check rather than an ICI measurement.
+    """
+    import time
+
+    import numpy as np
+    import optax
+
+    from ..core.camera import Camera
+    from ..diff.params import apply_params, extract_params
+    from ..scene import builtin
+    from .sharding import make_mesh, ray_sharding, shard_scene
+
+    scene0, meta, _ = builtin.cornell_box()
+    cfg = RenderConfig(width=width, height=height, max_bounces=bounces,
+                       importance_sampling=True)
+    cam = Camera(eye=[0, 0, 3.2], center=[0, 0, 0])
+    view = jnp.asarray(cam.view_matrix)
+    optimizer = optax.adam(1e-2)
+    devices = jax.devices()
+
+    def throughput(n_dev: int) -> float:
+        mesh = make_mesh(devices=devices[:n_dev])
+        scene = shard_scene(scene0, mesh)
+        n_pix = padded_pixels(cfg, mesh)
+        sharding = ray_sharding(mesh)
+        params = extract_params(scene, groups=("emission", "bsdf"))
+        opt_state = optimizer.init(params)
+        step = make_train_step(mesh, scene, meta, cfg, apply_params,
+                               optimizer)
+        target = jax.device_put(jnp.zeros((n_pix, 3), jnp.float32), sharding)
+        # Warm (compile), then chain steps and materialize (see bench.py on
+        # why un-materialized chains cannot be trusted for timing).
+        p, o = step(params, opt_state, target, jnp.int32(1), view)[:2]
+        jax.block_until_ready((p, o))
+        t0 = time.perf_counter()
+        for i in range(iters):
+            p, o, loss = step(p, o, target, jnp.int32(2 + i), view)
+        np.asarray(loss)
+        dt = time.perf_counter() - t0
+        return n_pix * iters / dt
+
+    n = len(devices)
+    tput1 = throughput(1)
+    tputn = throughput(n)
+    if jax.default_backend() == "cpu":
+        # Virtual devices share the host's physical cores: the 1-device run
+        # already uses them all through XLA threading, so ideal N-device
+        # throughput is ~= 1-device throughput and the honest figure is the
+        # sharding/communication overhead, not linear speedup.
+        eff = tputn / tput1 * 100.0
+        kind = "virtual-mesh overhead efficiency (ideal 100 = zero comm cost)"
+    else:
+        eff = tputn / (n * tput1) * 100.0
+        kind = "linear scaling efficiency (north star >= 80)"
+    return {"devices": n, "tput_1dev_rays_s": tput1,
+            "tput_ndev_rays_s": tputn, "efficiency": eff, "kind": kind}
+
+
 def make_train_step(mesh: Mesh, base_scene: SceneData, meta: SceneMeta,
                     cfg: RenderConfig, apply_params, optimizer):
     """Full fwd+bwd+update step, jitted over the mesh: the inverse-rendering

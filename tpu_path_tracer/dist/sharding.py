@@ -23,6 +23,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 RAY_AXIS = "rays"
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bootstrap: ``jax.distributed.initialize``, env-driven.
+
+    Call once per process before any device use (the ``cli.py --multihost``
+    flag routes here).  Arguments default to the standard JAX env vars
+    (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``);
+    on TPU pod slices all three may be omitted and are auto-detected from the
+    TPU metadata server.  After this returns, ``jax.devices()`` spans every
+    host and ``make_mesh()`` builds the global mesh — no other code changes
+    (the shard_map specs in this package are host-count agnostic).
+
+    Returns this process's index.  Safe to call when already initialized or
+    single-process (returns 0).
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        # Single explicit process or TPU-pod auto-detection.
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return 0  # single-host (no pod metadata) — nothing to do
+        return jax.process_index()
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index()
+
+
 def make_mesh(devices: Optional[Sequence] = None,
               n_devices: Optional[int] = None) -> Mesh:
     """1-D mesh over the ray axis.  ``n_devices`` takes the first N visible
