@@ -73,7 +73,7 @@ def test_tile_traversal_matches_jnp_walk():
     from tpu_path_tracer.core.config import LAMBERTIAN
     from tpu_path_tracer.kernels import traversal as jnp_trav
     from tpu_path_tracer.kernels.pallas.traversal import (
-        pack_nodes, pack_tris, tile_closest_hit)
+        pack_tris, tile_closest_hit)
     from tpu_path_tracer.scene import procedural
     from tpu_path_tracer.scene.builder import SceneBuilder
 
@@ -99,9 +99,8 @@ def test_tile_traversal_matches_jnp_walk():
     t_ref, i_ref = jnp_trav.bvh_closest_hit(
         origin, direction, bvh, tris, 1e-4, t0, meta.max_leaf)
     t_got, i_got = tile_closest_hit(
-        origin, direction, pack_nodes(bvh), pack_tris(tris), t0,
-        t_min=1e-4, n_tris=int(tris.count), n_nodes_real=int(bvh.count),
-        interpret=True)
+        origin, direction, bvh, pack_tris(tris), t0,
+        t_min=1e-4, n_tris=int(tris.count), interpret=True)
 
     i_ref, i_got = np.asarray(i_ref), np.asarray(i_got)
     hit_ref = i_ref >= 0

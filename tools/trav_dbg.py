@@ -5,7 +5,7 @@ import jax.numpy as jnp
 
 from tpu_path_tracer.core.config import LAMBERTIAN
 from tpu_path_tracer.kernels.pallas.traversal import (
-    pack_nodes, pack_tris, tile_closest_hit)
+    pack_tris, tile_closest_hit)
 from tpu_path_tracer.kernels import traversal as jnp_trav
 from tpu_path_tracer.scene import procedural
 from tpu_path_tracer.scene.builder import SceneBuilder
@@ -30,8 +30,8 @@ direction = jnp.asarray(d)
 t0 = jnp.full((n,), 1e9, jnp.float32)
 
 t_got, i_got = tile_closest_hit(
-    origin, direction, pack_nodes(bvh), pack_tris(tris), t0,
-    t_min=1e-4, n_tris=int(tris.count), n_nodes_real=int(bvh.count))
+    origin, direction, bvh, pack_tris(tris), t0,
+    t_min=1e-4, n_tris=int(tris.count))
 t_got = np.asarray(t_got)
 i_got = np.asarray(i_got)
 print("pallas ok, hits:", (i_got >= 0).sum())
@@ -42,6 +42,8 @@ i_ref = np.asarray(i_ref)
 print("jnp hits:", (i_ref >= 0).sum())
 assert ((i_got >= 0) == (i_ref >= 0)).all()
 hr = i_ref >= 0
-np.testing.assert_allclose(t_got[hr], np.asarray(t_ref)[hr], rtol=1e-5,
-                           atol=1e-5)
+# rtol 1e-4: the Pallas path multiplies on the MXU at Precision.HIGHEST
+# (bf16x3 ≈ f32 with different rounding than the jnp VPU path).
+np.testing.assert_allclose(t_got[hr], np.asarray(t_ref)[hr], rtol=1e-4,
+                           atol=1e-4)
 print("MATCH")

@@ -60,6 +60,9 @@ class RenderConfig:
     # custom-VJP backward kernel) when the scene supports it (analytic
     # sphere/quad scenes); falls back to the wavefront integrator elsewhere.
     use_megakernel: bool = False
+    # Rematerialize each bounce of the wavefront scan in the backward sweep
+    # (jax.checkpoint) instead of saving all per-bounce state to HBM.
+    remat_bounces: bool = True
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

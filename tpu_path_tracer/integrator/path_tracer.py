@@ -111,6 +111,16 @@ def trace(rand_state, ray: Ray, scene: SceneData, meta: SceneMeta,
 
         return (rs, cur_ray, radiance, throughput, alive), None
 
+    if cfg.remat_bounces:
+        # Rematerialize each bounce in the backward sweep instead of saving
+        # every bounce's full SoA state to HBM — the backward pass of the
+        # scan is bandwidth-bound on those saves (round-1 headline fwd+bwd
+        # was 5x slower than 2x-forward cost would predict).  With
+        # checkpointing the scan saves only the (small) carry between
+        # bounces and re-traces each bounce's interior on the way back.
+        bounce = jax.checkpoint(
+            bounce, policy=jax.checkpoint_policies.nothing_saveable)
+
     # Under shard_map, the scan carry's varying-manual-axes type must be
     # consistent from step 0, but literal constants (and even the broadcast
     # camera origin) are 'replicated' while the post-bounce carry is

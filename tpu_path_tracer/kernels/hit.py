@@ -86,18 +86,17 @@ def find_hit(rand_state, ray: Ray, scene: SceneData, meta: SceneMeta,
     if tris.count and meta.traversal != "none":
         if meta.traversal == "bvh" and scene.bvh is not None:
             if cfg.use_pallas and jax.default_backend() == "tpu":
-                # Tile-frustum Pallas kernel: per-lane gathers are ~1
-                # row/cycle on TPU, putting the jnp skip-link walk 3-4
-                # orders of magnitude off speed-of-light; the Pallas path
-                # streams triangles through SMEM with zero gathers
+                # Tile-frustum cull (XLA) + Pallas span sweep: per-lane
+                # gathers are ~1 row/cycle on TPU, putting the jnp
+                # skip-link walk 3-4 orders of magnitude off
+                # speed-of-light; this path gathers only per-TILE and
+                # streams triangles through SMEM with zero per-ray gathers
                 # (kernels/pallas/traversal.py).  Packing is a reshape of
-                # the node/tri tables — trivial next to one traversal.
-                from .pallas.traversal import (pack_nodes, pack_tris,
-                                               tile_closest_hit)
+                # the triangle table — trivial next to one traversal.
+                from .pallas.traversal import pack_tris, tile_closest_hit
                 t_t, i_t = tile_closest_hit(
-                    o, d, pack_nodes(scene.bvh), pack_tris(tris), t_best,
-                    t_min=t_min, n_tris=int(tris.count),
-                    n_nodes_real=int(scene.bvh.count))
+                    o, d, scene.bvh, pack_tris(tris), t_best,
+                    t_min=t_min, n_tris=int(tris.count))
             else:
                 t_t, i_t = traversal.bvh_closest_hit(
                     o, d, scene.bvh, tris, t_min, t_best, meta.max_leaf)
