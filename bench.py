@@ -34,7 +34,7 @@ import subprocess
 import sys
 import time
 
-WORKLOAD_TIMEOUT_S = 1500  # first TPU compile can take minutes
+WORKLOAD_TIMEOUT_S = 2700  # remote Mosaic compiles take 5-10 min COLD
 
 
 def _marginal(run, n1, n2):
@@ -301,10 +301,19 @@ def _run_child(name):
 
 def _spawn(name):
     """Run one workload in a subprocess; never raises."""
+    import os
+    env = dict(os.environ)
+    # Persistent XLA compile cache: workload subprocesses (and future bench
+    # runs) reuse compiled executables instead of paying the 5-10 min
+    # remote Mosaic compile every time.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".jax_cache"))
     try:
         proc = subprocess.run(
             [sys.executable, __file__, "--workload", name],
-            capture_output=True, text=True, timeout=WORKLOAD_TIMEOUT_S)
+            capture_output=True, text=True, timeout=WORKLOAD_TIMEOUT_S,
+            env=env)
     except subprocess.TimeoutExpired:
         return None, f"timeout after {WORKLOAD_TIMEOUT_S}s"
     for line in reversed(proc.stdout.splitlines()):

@@ -309,18 +309,17 @@ def _sweep_kernel(t_min: float, maxc: int):
         t_best = t_out[:]                        # [TILE, 1]
         idx_best = idx_out[:]
 
-        # HIGH (bf16x3 ~ f32): geometry needs f32-grade products — the TPU
-        # default multiplies f32 matmul inputs in plain bf16, which flips
-        # edge/hit tests.  HIGHEST (6-pass) doubles MXU time for accuracy
-        # beyond what the f32 inputs themselves carry.
+        # HIGHEST: geometry needs f32-grade products — the TPU default
+        # multiplies f32 matmul inputs in plain bf16, which flips edge/hit
+        # tests (Mosaic supports only DEFAULT and HIGHEST).
         s = jax.lax.dot_general(
             ray_dm_ref[:], edge_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=_F32,
-            precision=jax.lax.Precision.HIGH)  # [TILE, 3*TC]
+            precision=jax.lax.Precision.HIGHEST)  # [TILE, 3*TC]
         tn = jax.lax.dot_general(
             ray_o1_ref[:], tcol_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=_F32,
-            precision=jax.lax.Precision.HIGH)  # [TILE, TC]
+            precision=jax.lax.Precision.HIGHEST)  # [TILE, TC]
         s0 = s[:, 0 * tc:1 * tc]
         s1 = s[:, 1 * tc:2 * tc]
         s2 = s[:, 2 * tc:3 * tc]
