@@ -28,11 +28,17 @@ requires_tpu = pytest.mark.skipif(
 def tpu():
     import jax
     # conftest pins jax_platforms=cpu for the rest of the suite; undo it
-    # for this module so the real chip is visible.
+    # for this module so the real chip is visible, and RESTORE the pin on
+    # teardown so a mixed-suite process cannot leak TPU execution into
+    # later CPU-pinned tests.  (No-op if a backend already initialized —
+    # hence the docstring's run-this-file-alone instruction.)
+    prev = jax.config.jax_platforms
     jax.config.update("jax_platforms", None)
     if jax.default_backend() != "tpu":
+        jax.config.update("jax_platforms", prev)
         pytest.skip("no TPU backend available")
-    return jax
+    yield jax
+    jax.config.update("jax_platforms", prev)
 
 
 @requires_tpu
@@ -95,8 +101,72 @@ def test_megakernel_on_tpu(tpu):
     rs = rng.seed(pix, jnp.int32(3))
     _, ref = path_trace_pixels(rs, view, px, py, scene, meta, cfg)
     got = path_trace_pixels_pallas(rs, view, px, py, scene, meta, cfg)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-3, atol=2e-3)
+    ref, got = np.asarray(ref), np.asarray(got)
+    # Estimator-level contract on hardware: XLA (wavefront) and Mosaic
+    # (megakernel) round fused float ops differently, and one ULP at a
+    # branch (hit test, RR, material draw) resends that pixel's whole path
+    # — so a small fraction of pixels legitimately diverges even though
+    # every draw is replayed in the same order.  CPU interpret mode holds
+    # the strict pixel-for-pixel contract (tests/test_pallas.py); here we
+    # bound the flip fraction and require estimator (mean-image) agreement.
+    err = np.abs(got - ref).max(1)
+    rel = err / (np.abs(ref).max(1) + 1e-3)
+    flip_frac = float((rel > 2e-3).mean())
+    assert flip_frac < 0.10, f"{flip_frac:.1%} pixels diverged"
+    mean_diff = np.abs(got.mean(0) - ref.mean(0)).max()
+    assert mean_diff < 2e-2, f"mean image diff {mean_diff}"
+
+
+@requires_tpu
+def test_megakernel_vjp_on_tpu(tpu):
+    """The custom-VJP backward kernel compiles and runs on hardware, and
+    its table gradients agree with the wavefront's autodiff at the
+    estimator level (branch flips perturb individual paths; the summed
+    per-material gradients must still agree)."""
+    import jax
+    import jax.numpy as jnp
+    import tpu_path_tracer as tpt
+    from tpu_path_tracer.core import rng
+    from tpu_path_tracer.diff.params import apply_params, extract_params
+    from tpu_path_tracer.integrator.render import path_trace_pixels
+    from tpu_path_tracer.kernels.pallas.megakernel import (
+        path_trace_pixels_pallas, vjp_supported)
+
+    scene, meta, _ = tpt.builtin.cornell_box()
+    cfg = tpt.RenderConfig(width=128, height=64, max_bounces=4,
+                           importance_sampling=True)
+    assert vjp_supported(scene, meta, cfg)
+    cam = tpt.Camera(eye=[0, 0, 3.2], center=[0, 0, 0])
+    view = jnp.asarray(cam.view_matrix)
+    n = cfg.width * cfg.height
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    px = (pix % jnp.uint32(cfg.width)).astype(jnp.int32)
+    py = (pix // jnp.uint32(cfg.width)).astype(jnp.int32)
+    params = extract_params(scene, groups=("emission", "bsdf"))
+
+    def loss_wave(params):
+        s = apply_params(scene, params)
+        rs = rng.seed(pix, 7)
+        return jnp.mean(path_trace_pixels(rs, view, px, py, s, meta,
+                                          cfg)[1] ** 2)
+
+    def loss_mk(params):
+        s = apply_params(scene, params)
+        rs = rng.seed(pix, 7)
+        return jnp.mean(path_trace_pixels_pallas(rs, view, px, py, s,
+                                                 meta, cfg) ** 2)
+
+    gw = jax.grad(loss_wave)(params)
+    gm = jax.grad(loss_mk)(params)
+    for k in ("emission", "color"):
+        a, b = np.asarray(gw[k]), np.asarray(gm[k])
+        assert np.all(np.isfinite(b)), k
+        scale = max(np.max(np.abs(a)), 1e-8)
+        # Bound tracks the cross-compiler pixel-flip fraction (~5%, see
+        # test_megakernel_on_tpu): each flipped pixel contributes a
+        # different (still unbiased) path sample to the summed gradient.
+        assert np.max(np.abs(a - b)) / scale < 0.12, (
+            f"{k}: wavefront {a} vs megakernel {b}")
 
 
 @requires_tpu

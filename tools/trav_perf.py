@@ -10,7 +10,8 @@ import numpy as np
 
 from tpu_path_tracer.core.config import LAMBERTIAN
 from tpu_path_tracer.kernels.pallas.traversal import (
-    pack_tris, tile_cull, tile_closest_hit, TILE)
+    CHUNKS_PER_STEP, TILE, _morton_key, chunk_cull, pack_tris,
+    tile_closest_hit)
 from tpu_path_tracer.scene import procedural
 from tpu_path_tracer.scene.builder import SceneBuilder
 
@@ -37,6 +38,7 @@ def main():
     tris, bvh = scene.triangles, scene.bvh
     print("tris", int(tris.count), "nodes", int(bvh.count))
     packed = pack_tris(tris)
+    e0, e1, e2, tcol, cmin, cmax = packed
 
     k = np.random.default_rng(11)
     # Coherent: primary rays through a 512x512 image plane from one origin.
@@ -65,23 +67,25 @@ def main():
     t0 = jnp.full((N,), 1e9, jnp.float32)
     nt = int(tris.count)
 
-    cull = jax.jit(lambda o, d, t: tile_cull(o, d, t, bvh, nt))
+    @jax.jit
+    def cull(o, d, t):
+        key = _morton_key(o, d, bvh.mins[0], bvh.maxs[0])
+        p = jnp.argsort(key)
+        return chunk_cull(o[p], d[p], t[p], cmin, cmax)
 
     for name, oo, dd_ in [("coherent", o_c, d_c), ("permuted", o_i, d_i),
                           ("bounce-like", o_b, d_b)]:
         dt_cull = timeit(lambda: cull(oo, dd_, t0))
-        sp_lo, sp_hi, ns = cull(oo, dd_, t0)
-        work = np.asarray(jnp.sum(
-            jnp.where(jnp.arange(64)[None] < ns[:, None],
-                      -(-(sp_hi - sp_lo) // 128), 0)))
+        _, _, count = cull(oo, dd_, t0)
+        work = int(np.asarray(jnp.sum(count)))
         dt = timeit(lambda: tile_closest_hit(
             oo, dd_, bvh, packed, t0, t_min=1e-4, n_tris=nt))
         hits = int((np.asarray(tile_closest_hit(
             oo, dd_, bvh, packed, t0, t_min=1e-4, n_tris=nt)[1]) >= 0).sum())
         print(f"{name}: cull {dt_cull*1e3:.2f} ms, total {dt*1e3:.2f} ms, "
               f"{N/dt/1e6:.1f} Mray/s, hits {hits}, "
-              f"chunks {int(work)} (avg {work/ (N//TILE):.1f}/tile)",
-              flush=True)
+              f"chunks {work} (avg {work/(N//TILE):.1f}/tile of "
+              f"{cmin.shape[0]})", flush=True)
 
 
 if __name__ == "__main__":

@@ -56,9 +56,13 @@ class RenderConfig:
     # Use the Pallas chunk-sweep kernel for BVH triangle hits (gated on the
     # TPU backend at trace time; falls back to jnp elsewhere).
     use_pallas: bool = True
-    # Route whole-frame tracing through the fused Pallas megakernel (with its
-    # custom-VJP backward kernel) when the scene supports it (analytic
-    # sphere/quad scenes); falls back to the wavefront integrator elsewhere.
+    # Route whole-frame tracing through the fused Pallas megakernel when the
+    # scene supports it (analytic sphere/quad scenes); falls back to the
+    # wavefront integrator elsewhere.  The megakernel is differentiable via
+    # a custom-VJP backward kernel that statically unrolls the bounce chain
+    # (kernels/pallas/megakernel.py) — taking gradients requires
+    # max_bounces * samples_per_pixel <= MAX_UNROLL_BOUNCES (64); deeper
+    # configs should keep the wavefront's rematerialized scan.
     use_megakernel: bool = False
     # Rematerialize each bounce of the wavefront scan in the backward sweep
     # (jax.checkpoint) instead of saving all per-bounce state to HBM.

@@ -23,6 +23,19 @@ def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(a * b, axis=-1)
 
 
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """``sqrt(max(x, 0))`` with a NaN-free reverse-mode gradient.
+
+    ``sqrt`` has an infinite derivative at 0, and under reverse-mode AD an
+    ``inf * 0`` from a clamped/unselected branch poisons *parameter*
+    cotangents with NaN (e.g. ``eta`` gradients through the glass refract
+    math on all-diffuse scenes).  The double-``where`` keeps the forward
+    value bit-identical and zeroes the gradient at ``x <= 0``.
+    """
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def length(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(dot(v, v), 0.0))
 
@@ -50,9 +63,8 @@ def refract(uv: jnp.ndarray, n: jnp.ndarray, eta_ratio: jnp.ndarray) -> jnp.ndar
     eta_ratio = jnp.asarray(eta_ratio)[..., None] if jnp.ndim(eta_ratio) else eta_ratio
     cos_theta = jnp.minimum(dot(-uv, n), 1.0)[..., None]
     r_out_perp = eta_ratio * (uv + cos_theta * n)
-    r_out_parallel = -jnp.sqrt(
-        jnp.maximum(0.0, 1.0 - dot(r_out_perp, r_out_perp))
-    )[..., None] * n
+    r_out_parallel = -safe_sqrt(
+        1.0 - dot(r_out_perp, r_out_perp))[..., None] * n
     return r_out_perp + r_out_parallel
 
 

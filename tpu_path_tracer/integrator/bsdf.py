@@ -101,10 +101,13 @@ def material_scatter(rand_state, wi: jnp.ndarray, rec: HitRecord,
     mirror_dir = vm.normalize(reflected + roughness[:, None] * fuzz)
 
     # --- GLASS --------------------------------------------------------
-    ir = jnp.where(rec.front_face, 1.0 / eta, eta)
+    # eta is 0 on non-glass materials; every lane evaluates the glass math,
+    # so an unguarded 1/eta puts inf/NaN in forward intermediates and NaNs
+    # the eta *gradient* even when the glass branch is never selected.
+    ir = jnp.where(rec.front_face, 1.0 / jnp.maximum(eta, 1e-8), eta)
     unit = vm.normalize(wi)
     cos_t = jnp.minimum(vm.dot(-unit, n), 1.0)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    sin_t = vm.safe_sqrt(1.0 - cos_t * cos_t)
     rand_state, u_refl = rng.uniform(rand_state)
     must_reflect = (ir * sin_t > 1.0) | (schlick_reflectance(cos_t, ir)
                                          > u_refl)
@@ -116,7 +119,7 @@ def material_scatter(rand_state, wi: jnp.ndarray, rec: HitRecord,
     g = spec_strength
     rand_state, u_hg = rng.uniform(rand_state)
     cos_hg = henyey_greenstein_cos(g, u_hg)
-    sin_hg = jnp.sqrt(jnp.maximum(1.0 - cos_hg * cos_hg, 0.0))
+    sin_hg = vm.safe_sqrt(1.0 - cos_hg * cos_hg)
     rand_state, u_phi = rng.uniform(rand_state)
     phi = 2.0 * PI * u_phi
     hg_local = jnp.stack(

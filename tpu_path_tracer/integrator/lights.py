@@ -42,7 +42,11 @@ def quad_light_pdf(origin, direction, q, u, v):
     w = n_raw / vm.dot(n_raw, n_raw)[..., None]
 
     denom = vm.dot(normal, direction)
-    t = (d_plane - vm.dot(normal, origin)) / denom
+    # Rays parallel to the light plane give denom == 0 -> inf t; those lanes
+    # are rejected by `valid` below, but the inf would still NaN the quad
+    # *geometry gradients* through the select (0 * inf in reverse mode).
+    grazing = jnp.abs(denom) < 1e-8
+    t = (d_plane - vm.dot(normal, origin)) / jnp.where(grazing, 1.0, denom)
     p = origin + t[..., None] * direction
     rel = p - q
     alpha = vm.dot(w, vm.cross(rel, v))
@@ -56,7 +60,11 @@ def quad_light_pdf(origin, direction, q, u, v):
         & (beta >= 0.0) & (beta <= 1.0)
     )
     dist_sq = t * t * vm.dot(direction, direction)
-    cosine = jnp.abs(denom) / jnp.maximum(vm.length(direction), 1e-20)
+    # Clamp floors are 1e-12, NOT smaller: the division VJP computes
+    # -g*a/b^2, and (1e-20)^2 underflows f32 to 0 -> 0/0 = NaN in the
+    # quad-geometry gradients (invalid lanes included — 0 cotangent does
+    # not save a NaN local derivative).
+    cosine = jnp.abs(denom) / jnp.maximum(vm.length(direction), 1e-12)
     area = vm.length(n_raw)
-    pdf = dist_sq / jnp.maximum(cosine * area, 1e-20)
+    pdf = dist_sq / jnp.maximum(cosine * area, 1e-12)
     return jnp.where(valid, pdf, MIN_FLOAT)

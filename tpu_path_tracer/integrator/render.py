@@ -68,7 +68,26 @@ def path_trace_pixels(rand_state, view_matrix, px, py, scene: SceneData,
                       meta: SceneMeta, cfg: RenderConfig):
     """``pathTrace`` (``shootRay.wgsl:5-49``): average ``samples_per_pixel``
     estimates per pixel (stratified grid when configured).  Returns
-    (rand_state, radiance [N, 3])."""
+    (rand_state, radiance [N, 3]).
+
+    When ``cfg.use_megakernel`` is set and the scene is analytic
+    (spheres/quads only), the whole trace routes through the fused Pallas
+    megakernel with its custom-VJP backward kernel
+    (``kernels.pallas.megakernel``) — the reference's single-dispatch shape
+    (``shaders/main.wgsl:1-27``).  The megakernel does not thread the RNG
+    state back out; the returned ``rand_state`` is the caller's input
+    (callers reseed per frame from ``(pixel, frame_num)``, ``main.wgsl:16``,
+    so no stream reuse occurs across frames).  On non-TPU backends the
+    kernel runs in Mosaic interpreter mode — same semantics, test-grade
+    speed."""
+    from ..kernels.pallas import megakernel as mk
+
+    if cfg.use_megakernel and mk.supported(scene, meta, cfg):
+        radiance = mk.path_trace_pixels_pallas(
+            rand_state, view_matrix, px, py, scene, meta, cfg,
+            interpret=jax.default_backend() != "tpu")
+        return rand_state, radiance
+
     n = px.shape[0]
     # Varying zero for scan-carry inits under shard_map (see
     # path_tracer.trace for the full explanation).

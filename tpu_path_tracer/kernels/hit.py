@@ -169,6 +169,11 @@ def shade_hit(ray: Ray, ptype, pidx, vol_u, scene: SceneData,
         rad = gs(sph.radius)
         sel_s = ptype == SPHERE
         t_s = intersect.sphere_t(o, d, ctr, rad, t_min, cfg.t_max)
+        # Mask unselected lanes to a finite dummy BEFORE deriving positions:
+        # a missing lane's t is INF, and the inf/NaN it breeds in p_s/n_s
+        # poisons *geometry gradients* through the select (0 * inf = NaN in
+        # reverse mode) even though the forward value is discarded.
+        t_s = jnp.where(sel_s, t_s, 1.0)
         p_s = o + t_s[:, None] * d
         n_s = vm.normalize((p_s - ctr) / rad[:, None])  # common.wgsl:60
         t = jnp.where(sel_s, t_s, t)
@@ -201,7 +206,10 @@ def shade_hit(ray: Ray, ptype, pidx, vol_u, scene: SceneData,
         # Recompute plane data from raw (q, u, v) so gradients reach the quad
         # geometry (the stored derived fields are a non-diff fast path).
         nq, dq, _ = intersect.quad_derived(gq(qd.q), gq(qd.u), gq(qd.v))
-        t_q = (dq - vm.dot(nq, o)) / vm.dot(nq, d)
+        # Unselected lanes can have n.d == 0 (parallel rays) — keep the
+        # division NaN-free so quad-geometry gradients stay finite.
+        den = vm.dot(nq, d)
+        t_q = (dq - vm.dot(nq, o)) / jnp.where(sel, den, 1.0)
         t = jnp.where(sel, t_q, t)
         normal = jnp.where(sel[:, None], nq, normal)
         material_id = jnp.where(sel, gq(qd.material_id), material_id)
@@ -212,6 +220,12 @@ def shade_hit(ray: Ray, ptype, pidx, vol_u, scene: SceneData,
         sel = ptype == TRIANGLE
         t_t, bu, bv, bw = intersect.triangle_t(
             o, d, tris.a[ti], tris.b[ti], tris.c[ti], t_min, cfg.t_max)
+        t_t = jnp.where(sel, t_t, 1.0)  # see sphere-path masking note
+        # Degenerate unselected lanes (clipped index 0, det ~ 0) give inf
+        # barycentrics — mask before they feed the shading normal.
+        bu = jnp.where(sel, bu, 1.0 / 3.0)
+        bv = jnp.where(sel, bv, 1.0 / 3.0)
+        bw = jnp.where(sel, bw, 1.0 / 3.0)
         # Smooth barycentric normal — common.wgsl:230 (already world-space).
         n_t = vm.normalize(tris.na[ti] * bw[:, None]
                            + tris.nb[ti] * bu[:, None]

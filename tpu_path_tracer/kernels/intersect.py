@@ -38,7 +38,7 @@ def sphere_roots(origin, direction, center, radius):
     half_b = vm.dot(direction, oc)
     c = vm.dot(oc, oc) - radius * radius
     disc = half_b * half_b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = vm.safe_sqrt(disc)  # NaN-free gradient at disc <= 0 (grazing/miss)
     inv_a = jnp.reciprocal(a)
     return (-half_b - sq) * inv_a, (-half_b + sq) * inv_a, disc
 

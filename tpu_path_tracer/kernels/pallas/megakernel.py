@@ -23,12 +23,27 @@ camera + 3 for NEE + 1 for RR, + one per sphere for volumes when present),
 and the same bounce algebra (``integrator.path_tracer.trace``).  Tests
 assert the two paths agree pixel-for-pixel up to float reassociation.
 
+Differentiability: :func:`path_trace_pixels_pallas` carries a
+``jax.custom_vjp``.  The backward pass is a SECOND Pallas kernel
+(:func:`_bwd_call`) that replays the identical PCG stream and bounce chain
+— the shared tracer body is built once by :func:`_make_tracer` and used by
+both kernels — with the scene tables resident in VMEM as *values*, and
+applies in-kernel reverse-mode AD (``jax.grad`` inside the kernel body; the
+bounce/sample loops are statically unrolled so every residual stays in
+VMEM).  Per-tile cotangents reduce to per-table-row gradients accumulated
+across the sequential grid into revisited output blocks.  Gradient
+semantics therefore match the wavefront integrator's autodiff exactly
+(detached RNG draws, attached Russian-roulette compensation, NEE pdf
+chain), and the cotangents flow back through :func:`pack_tables`'s XLA
+gathers to the material/geometry pytree leaves.
+
 Data layout: rays are tiled as ``(TILE_ROWS, 128)`` f32 *planes* (one plane
 per vector component — SoA all the way down), the VPU-native shape.  Scene
-tables ride in SMEM and are walked with a statically unrolled primitive loop
-— each sphere/quad is a handful of scalar broadcasts against the tile, and
-the winning primitive's material is select-merged into per-lane planes, so
-there are NO gathers anywhere in the kernel.
+tables ride in SMEM (forward) / VMEM (backward) and are walked with a
+statically unrolled primitive loop — each sphere/quad is a handful of
+scalar broadcasts against the tile, and the winning primitive's material is
+select-merged into per-lane planes, so there are NO gathers anywhere in the
+kernel.
 """
 
 from __future__ import annotations
@@ -49,6 +64,14 @@ from ...core.types import SceneData, SceneMeta
 # Rays per program instance = TILE_ROWS * 128.
 TILE_ROWS = 32
 LANES = 128
+# The backward kernel holds every unrolled-bounce residual in VMEM at the
+# forward/backward boundary; a narrower tile keeps the live set well under
+# the ~16 MB VMEM budget at deep bounce counts.
+BWD_TILE_ROWS = 16
+# Bounce x sample unroll budget for the differentiable path: the backward
+# kernel unrolls ``max_bounces * spp`` copies of the bounce body (so AD
+# residuals stay in VMEM).  Past this, fall back to the wavefront.
+MAX_UNROLL_BOUNCES = 64
 
 # PCG32 constants — bit-exact with core.rng (shaders/common.wgsl:7-12).
 _MULT = np.uint32(747796405)
@@ -86,6 +109,14 @@ def _mix(a, b, t):
     return a + (b - a) * t
 
 
+def _safe_sqrt(x):
+    """``sqrt(max(x, 0))`` with a NaN-free gradient (core.vecmath.safe_sqrt):
+    the backward kernel differentiates this body in-kernel, so the same
+    double-``where`` guard applies here."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def _u32_to_f32(word):
     """Bit-exact uint32 -> float32 value cast (Mosaic has no direct lowering).
 
@@ -106,7 +137,7 @@ def _pcg(state):
     return state, _u32_to_f32((word >> np.uint32(22)) ^ word) * _INV_U32
 
 
-# Scene-table field layouts (columns of the packed SMEM tables).
+# Scene-table field layouts (columns of the packed tables).
 # Sphere row: cx cy cz r | col3 spec3 emi3 sstr rough eta mtype  (17)
 SPH_COLS = 17
 # Quad row: q3 u3 v3 n3 d w3 | col3 spec3 emi3 sstr rough eta mtype (29)
@@ -128,7 +159,11 @@ def _mat_cols(materials, mid):
 
 
 def pack_tables(scene: SceneData):
-    """Flatten the scene into the kernel's SMEM tables (traced XLA ops)."""
+    """Flatten the scene into the kernel's packed tables (traced XLA ops).
+
+    Differentiable: the gathers here transpose to scatter-adds, so table
+    cotangents from the backward kernel flow to the material/geometry
+    pytree leaves."""
     sph = scene.spheres
     if sph.count:
         sph_tab = jnp.stack(
@@ -154,9 +189,17 @@ def pack_tables(scene: SceneData):
     return sph_tab, quad_tab, light_tab
 
 
-def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
-                 meta: SceneMeta, spp: int):
-    """Build the kernel body with all static facts baked in."""
+def _make_tracer(n_spheres: int, n_quads: int, cfg: RenderConfig,
+                 meta: SceneMeta, spp: int, unroll: bool):
+    """Build the shared tile tracer with all static facts baked in.
+
+    Returns ``trace_tile(sph_at, quad_at, light_at, cam_at, state0, pxf,
+    pyf) -> (r, g, b)`` where the ``*_at(i, k)`` accessors read one scene
+    scalar — SMEM ref reads in the forward kernel, value indexing in the
+    differentiable backward kernel.  ``unroll=True`` replaces the
+    sample/bounce ``fori_loop``s with static Python unrolls so in-kernel
+    reverse-mode AD keeps its residuals as VMEM SSA values.
+    """
     w = np.float32(cfg.width)
     h = np.float32(cfg.height)
     aspect = np.float32(w / h)
@@ -174,18 +217,13 @@ def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
     grid_n = max(int(cfg.samples_per_pixel ** 0.5), 1) if cfg.stratify else 1
     sub_scale = np.float32(1.0 / grid_n)
 
-    def kernel(sph_ref, quad_ref, light_ref, cam_ref, st_ref, px_ref, py_ref,
-               r_ref, g_ref, b_ref):
+    def trace_tile(sph_at, quad_at, light_at, cam_at, state0, pxf, pyf):
         # Camera basis columns + origin (shaders/main.wgsl:8,
-        # shootRay.wgsl:54-60) — SMEM scalars broadcast per use.
-        b0x, b0y, b0z = cam_ref[0, 0], cam_ref[1, 0], cam_ref[2, 0]
-        b1x, b1y, b1z = cam_ref[0, 1], cam_ref[1, 1], cam_ref[2, 1]
-        b2x, b2y, b2z = cam_ref[0, 2], cam_ref[1, 2], cam_ref[2, 2]
-        eyex, eyey, eyez = cam_ref[0, 3], cam_ref[1, 3], cam_ref[2, 3]
-
-        pxf = px_ref[:].astype(_F32)
-        pyf = py_ref[:].astype(_F32)
-        state0 = st_ref[:]
+        # shootRay.wgsl:54-60) — scene scalars broadcast per use.
+        b0x, b0y, b0z = cam_at(0, 0), cam_at(1, 0), cam_at(2, 0)
+        b1x, b1y, b1z = cam_at(0, 1), cam_at(1, 1), cam_at(2, 1)
+        b2x, b2y, b2z = cam_at(0, 2), cam_at(1, 2), cam_at(2, 2)
+        eyex, eyey, eyez = cam_at(0, 3), cam_at(1, 3), cam_at(2, 3)
 
         def sphere_hit_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r):
             """Closest valid sphere root per lane (common.wgsl:29-52)."""
@@ -194,7 +232,7 @@ def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
             half_b = _dot3(dx, dy, dz, ocx, ocy, ocz)
             c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
             disc = half_b * half_b - a * c
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            sq = _safe_sqrt(disc)
             inv_a = jnp.reciprocal(a)
             r0 = (-half_b - sq) * inv_a
             r1 = (-half_b + sq) * inv_a
@@ -204,13 +242,12 @@ def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
             return jnp.where(ok, root, inf)
 
         def quad_fields(i):
-            qr = quad_ref
-            return ((qr[i, 0], qr[i, 1], qr[i, 2]),
-                    (qr[i, 3], qr[i, 4], qr[i, 5]),
-                    (qr[i, 6], qr[i, 7], qr[i, 8]),
-                    (qr[i, 9], qr[i, 10], qr[i, 11]),
-                    qr[i, 12],
-                    (qr[i, 13], qr[i, 14], qr[i, 15]))
+            return ((quad_at(i, 0), quad_at(i, 1), quad_at(i, 2)),
+                    (quad_at(i, 3), quad_at(i, 4), quad_at(i, 5)),
+                    (quad_at(i, 6), quad_at(i, 7), quad_at(i, 8)),
+                    (quad_at(i, 9), quad_at(i, 10), quad_at(i, 11)),
+                    quad_at(i, 12),
+                    (quad_at(i, 13), quad_at(i, 14), quad_at(i, 15)))
 
         def quad_hit_t(ox, oy, oz, dx, dy, dz, q, u, v, n, d, wv):
             """One-sided quad test (common.wgsl:148-187)."""
@@ -245,13 +282,13 @@ def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
             mat = [zero] * 13  # col3 spec3 emi3 sstr rough eta mtype
 
             for i in range(n_spheres):
-                cx, cy, cz = sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2]
-                r = sph_ref[i, 3]
-                mrow = [sph_ref[i, 4 + k] for k in range(13)]
+                cx, cy, cz = sph_at(i, 0), sph_at(i, 1), sph_at(i, 2)
+                r = sph_at(i, 3)
+                mrow = [sph_at(i, 4 + k) for k in range(13)]
                 t = sphere_hit_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r)
                 if has_volumes:
                     # Solid pass skips ISOTROPIC spheres (hitRay.wgsl:8-24);
-                    # mtype is an SMEM scalar so this is a scalar select.
+                    # mtype is a table scalar so this is a scalar select.
                     t = jnp.where(mrow[12] == float(ISOTROPIC), inf, t)
                 win = t < t_best
                 t_best = jnp.where(win, t, t_best)
@@ -264,7 +301,7 @@ def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
 
             for i in range(n_quads):
                 q, u, v, n, d, wv = quad_fields(i)
-                mrow = [quad_ref[i, 16 + k] for k in range(13)]
+                mrow = [quad_at(i, 16 + k) for k in range(13)]
                 t = quad_hit_t(ox, oy, oz, dx, dy, dz, q, u, v, n, d, wv)
                 win = t < t_best
                 t_best = jnp.where(win, t, t_best)
@@ -283,15 +320,15 @@ def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
                     _dot3(dx, dy, dz, dx, dy, dz), 1e-20))
                 for i in range(n_spheres):
                     state, uu = _pcg(state)
-                    cx, cy, cz = sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2]
-                    r = sph_ref[i, 3]
-                    mrow = [sph_ref[i, 4 + k] for k in range(13)]
+                    cx, cy, cz = sph_at(i, 0), sph_at(i, 1), sph_at(i, 2)
+                    r = sph_at(i, 3)
+                    mrow = [sph_at(i, 4 + k) for k in range(13)]
                     ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
                     a = _dot3(dx, dy, dz, dx, dy, dz)
                     half_b = _dot3(dx, dy, dz, ocx, ocy, ocz)
                     c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
                     disc = half_b * half_b - a * c
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    sq = _safe_sqrt(disc)
                     inv_a = jnp.reciprocal(a)
                     r0 = (-half_b - sq) * inv_a
                     r1 = (-half_b + sq) * inv_a
@@ -389,7 +426,7 @@ def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
                            eta)
             ux, uy, uz = _norm3(dx, dy, dz)
             cos_t = jnp.minimum(-_dot3(ux, uy, uz, nx, ny, nz), 1.0)
-            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            sin_t = _safe_sqrt(1.0 - cos_t * cos_t)
             state, u_refl = _pcg(state)
             r0s = (1.0 - ir) / (1.0 + ir)
             r0s = r0s * r0s
@@ -402,8 +439,7 @@ def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
             rpx = ir * (ux + cos_t * nx)
             rpy = ir * (uy + cos_t * ny)
             rpz = ir * (uz + cos_t * nz)
-            par = -jnp.sqrt(jnp.maximum(
-                0.0, 1.0 - _dot3(rpx, rpy, rpz, rpx, rpy, rpz)))
+            par = -_safe_sqrt(1.0 - _dot3(rpx, rpy, rpz, rpx, rpy, rpz))
             gtx = rpx + par * nx
             gty = rpy + par * ny
             gtz = rpz + par * nz
@@ -418,7 +454,7 @@ def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
             hg_gen = (1.0 + g * g - frac * frac) / (2.0 * safe_g)
             cos_hg = jnp.clip(jnp.where(jnp.abs(g) < 1e-4, 1.0 - 2.0 * u_hg,
                                         hg_gen), -1.0, 1.0)
-            sin_hg = jnp.sqrt(jnp.maximum(1.0 - cos_hg * cos_hg, 0.0))
+            sin_hg = _safe_sqrt(1.0 - cos_hg * cos_hg)
             state, u_phi = _pcg(state)
             hphi = two_pi * u_phi
             hlx = sin_hg * jnp.cos(hphi)
@@ -452,9 +488,9 @@ def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
 
             if use_nee:
                 # NEE/MIS mixing for diffuse lanes (traceRay.wgsl:26-57).
-                lq = [light_ref[0, k] for k in range(3)]
-                lu = [light_ref[0, 3 + k] for k in range(3)]
-                lv = [light_ref[0, 6 + k] for k in range(3)]
+                lq = [light_at(0, k) for k in range(3)]
+                lu = [light_at(0, 3 + k) for k in range(3)]
+                lv = [light_at(0, 6 + k) for k in range(3)]
                 state, lr1 = _pcg(state)
                 state, lr2 = _pcg(state)
                 ldx = lq[0] + lr1 * lu[0] + lr2 * lv[0] - hx
@@ -475,11 +511,18 @@ def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
                     nrx * nrx + nry * nry + nrz * nrz, 1e-20))
                 lnx, lny, lnz = nrx / n_len, nry / n_len, nrz / n_len
                 d_plane = lnx * lq[0] + lny * lq[1] + lnz * lq[2]
+                # 1e-12 floors, not 1e-20: (1e-20)^2 underflows f32 in the
+                # division VJP -> NaN geometry grads (see lights.py).
                 inv_nn = 1.0 / jnp.maximum(
-                    nrx * nrx + nry * nry + nrz * nrz, 1e-20)
+                    nrx * nrx + nry * nry + nrz * nrz, 1e-12)
                 lwx, lwy, lwz = nrx * inv_nn, nry * inv_nn, nrz * inv_nn
                 denom = lnx * chx + lny * chy + lnz * chz
-                tl = (d_plane - (lnx * hx + lny * hy + lnz * hz)) / denom
+                # Grazing lanes (denom ~ 0) are rejected by `valid` below;
+                # guard the division so quad gradients stay NaN-free
+                # (integrator.lights.quad_light_pdf has the same guard).
+                grazing = jnp.abs(denom) < 1e-8
+                tl = ((d_plane - (lnx * hx + lny * hy + lnz * hz))
+                      / jnp.where(grazing, 1.0, denom))
                 prx = hx + tl * chx - lq[0]
                 pry = hy + tl * chy - lq[1]
                 prz = hz + tl * chz - lq[2]
@@ -494,7 +537,7 @@ def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
                 dist_sq = tl * tl  # chosen dir is unit length
                 cosine = jnp.abs(denom)
                 l_pdf = jnp.where(
-                    valid, dist_sq / jnp.maximum(cosine * n_len, 1e-20),
+                    valid, dist_sq / jnp.maximum(cosine * n_len, 1e-12),
                     np.float32(0.0001))
                 pdf = p_light * l_pdf + (1.0 - p_light) * lam_pdf
                 degenerate = pdf <= 1e-5
@@ -536,8 +579,12 @@ def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
             state, u1 = _pcg(state)
             state, u2 = _pcg(state)
             if cfg.stratify:
-                offx = (sample_idx // grid_n).astype(_F32)
-                offy = jnp.remainder(sample_idx, grid_n).astype(_F32)
+                if isinstance(sample_idx, int):  # unrolled sample loop
+                    offx = np.float32(sample_idx // grid_n)
+                    offy = np.float32(sample_idx % grid_n)
+                else:
+                    offx = (sample_idx // grid_n).astype(_F32)
+                    offy = jnp.remainder(sample_idx, grid_n).astype(_F32)
                 jx = sub_scale * (offx + u1)
                 jy = sub_scale * (offy + u2)
             else:
@@ -555,7 +602,14 @@ def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
             rad = [zero, zero, zero]
             one = zero + 1.0
             thr = [one, one, one]
-            alive = jnp.ones_like(dx, jnp.bool_)
+
+            if unroll:
+                alive = jnp.ones_like(dx, jnp.bool_)
+                for i in range(cfg.max_bounces):
+                    state, ox, oy, oz, dx, dy, dz, rad, thr, alive = \
+                        bounce_step(state, ox, oy, oz, dx, dy, dz,
+                                    rad, thr, alive, i)
+                return state, rad[0], rad[1], rad[2]
 
             def body(i, carry):
                 # Liveness rides the carry as f32 — Mosaic cannot legalize
@@ -571,25 +625,33 @@ def _make_kernel(n_spheres: int, n_quads: int, cfg: RenderConfig,
                         jnp.where(alive, 1.0, 0.0))
 
             carry = (state, ox, oy, oz, dx, dy, dz, rad[0], rad[1], rad[2],
-                     thr[0], thr[1], thr[2], jnp.where(alive, 1.0, 0.0))
+                     thr[0], thr[1], thr[2], jnp.ones_like(dx))
             carry = jax.lax.fori_loop(0, cfg.max_bounces, body, carry)
-            state = carry[0]
-            return state, carry[7], carry[8], carry[9]
-
-        def sample_loop(k, carry):
-            state, ar, ag, ab = carry
-            state, rr, rg, rb = one_sample(state, k)
-            return state, ar + rr, ag + rg, ab + rb
+            return carry[0], carry[7], carry[8], carry[9]
 
         zero = jnp.zeros_like(pxf)
-        state, ar, ag, ab = jax.lax.fori_loop(
-            0, spp, sample_loop, (state0, zero, zero, zero))
         inv_spp = np.float32(1.0 / spp)
-        r_ref[:] = ar * inv_spp
-        g_ref[:] = ag * inv_spp
-        b_ref[:] = ab * inv_spp
+        if unroll:
+            state, ar, ag, ab = state0, zero, zero, zero
+            for k in range(spp):
+                state, rr, rg, rb = one_sample(state, k)
+                ar, ag, ab = ar + rr, ag + rg, ab + rb
+        else:
+            def sample_loop(k, carry):
+                state, ar, ag, ab = carry
+                state, rr, rg, rb = one_sample(state, k)
+                return state, ar + rr, ag + rg, ab + rb
 
-    return kernel
+            state, ar, ag, ab = jax.lax.fori_loop(
+                0, spp, sample_loop, (state0, zero, zero, zero))
+        return ar * inv_spp, ag * inv_spp, ab * inv_spp
+
+    return trace_tile
+
+
+def _resolved_spp(cfg: RenderConfig) -> int:
+    return (max(int(cfg.samples_per_pixel ** 0.5), 1) ** 2
+            if cfg.stratify else cfg.samples_per_pixel)
 
 
 def supported(scene: SceneData, meta: SceneMeta, cfg: RenderConfig) -> bool:
@@ -598,13 +660,158 @@ def supported(scene: SceneData, meta: SceneMeta, cfg: RenderConfig) -> bool:
             and int(scene.spheres.count) + int(scene.quads.count) > 0)
 
 
+def vjp_supported(scene: SceneData, meta: SceneMeta,
+                  cfg: RenderConfig) -> bool:
+    """Whether the differentiable (custom-VJP) megakernel path applies: the
+    backward kernel statically unrolls ``max_bounces * spp`` bounce bodies,
+    so deep-bounce configs keep the wavefront's rematerialized scan."""
+    return (supported(scene, meta, cfg)
+            and cfg.max_bounces * _resolved_spp(cfg) <= MAX_UNROLL_BOUNCES)
+
+
+def _fwd_call(meta, cfg, interpret, sph_tab, quad_tab, light_tab, cam,
+              st2, px2, py2):
+    """Forward pallas_call: SMEM scene tables, fori_loop sample/bounce."""
+    rows = st2.shape[0]
+    n_sph, n_quads = sph_tab.shape[0], quad_tab.shape[0]
+    tracer = _make_tracer(n_sph, n_quads, cfg, meta, _resolved_spp(cfg),
+                          unroll=False)
+
+    def kernel(sph_ref, quad_ref, light_ref, cam_ref, st_ref, px_ref,
+               py_ref, r_ref, g_ref, b_ref):
+        r, g, b = tracer(
+            lambda i, k: sph_ref[i, k], lambda i, k: quad_ref[i, k],
+            lambda i, k: light_ref[i, k], lambda i, k: cam_ref[i, k],
+            st_ref[:], px_ref[:].astype(_F32), py_ref[:].astype(_F32))
+        r_ref[:] = r
+        g_ref[:] = g
+        b_ref[:] = b
+
+    grid = (rows // TILE_ROWS,)
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    lane_spec = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((rows, LANES), _F32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem(), smem(), smem(), smem(),
+                  lane_spec, lane_spec, lane_spec],
+        out_specs=(lane_spec, lane_spec, lane_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=interpret,
+    )(sph_tab, quad_tab, light_tab, cam, st2, px2, py2)
+
+
+def _bwd_call(meta, cfg, interpret, sph_tab, quad_tab, light_tab, cam,
+              st2, px2, py2, g_r, g_g, g_b):
+    """Backward pallas_call: replay the identical PCG stream with the scene
+    tables as VMEM *values* and differentiate the unrolled tracer in-kernel
+    (``jax.grad`` inside the kernel body — residuals stay in VMEM).  Table
+    cotangents accumulate across the sequential grid into revisited output
+    blocks."""
+    spp = _resolved_spp(cfg)
+    if cfg.max_bounces * spp > MAX_UNROLL_BOUNCES:
+        raise NotImplementedError(
+            f"megakernel backward unrolls max_bounces*spp = "
+            f"{cfg.max_bounces * spp} bounce bodies (budget "
+            f"{MAX_UNROLL_BOUNCES}); use the wavefront integrator "
+            f"(use_megakernel=False) for deep-bounce training")
+    rows = st2.shape[0]
+    n_sph, n_quads = sph_tab.shape[0], quad_tab.shape[0]
+    tracer = _make_tracer(n_sph, n_quads, cfg, meta, spp, unroll=True)
+
+    def kernel(sph_ref, quad_ref, light_ref, cam_ref, st_ref, px_ref,
+               py_ref, gr_ref, gg_ref, gb_ref,
+               dsph_ref, dquad_ref, dlight_ref, dcam_ref):
+        state0 = st_ref[:]
+        pxf = px_ref[:].astype(_F32)
+        pyf = py_ref[:].astype(_F32)
+        gr, gg, gb = gr_ref[:], gg_ref[:], gb_ref[:]
+
+        def scalar_loss(sph, quad, light, camv):
+            r, g, b = tracer(
+                lambda i, k: sph[i, k], lambda i, k: quad[i, k],
+                lambda i, k: light[i, k], lambda i, k: camv[i, k],
+                state0, pxf, pyf)
+            return jnp.sum(r * gr + g * gg + b * gb)
+
+        ds, dq, dl, dc = jax.grad(scalar_loss, argnums=(0, 1, 2, 3))(
+            sph_ref[:], quad_ref[:], light_ref[:], cam_ref[:])
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            dsph_ref[:] = jnp.zeros(dsph_ref.shape, _F32)
+            dquad_ref[:] = jnp.zeros(dquad_ref.shape, _F32)
+            dlight_ref[:] = jnp.zeros(dlight_ref.shape, _F32)
+            dcam_ref[:] = jnp.zeros(dcam_ref.shape, _F32)
+
+        dsph_ref[:] += ds
+        dquad_ref[:] += dq
+        dlight_ref[:] += dl
+        dcam_ref[:] += dc
+
+    grid = (rows // BWD_TILE_ROWS,)
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((BWD_TILE_ROWS, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # revisited, whole
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vmem(), vmem(), vmem(), vmem(),
+                  lane_spec, lane_spec, lane_spec,
+                  lane_spec, lane_spec, lane_spec],
+        out_specs=(acc_spec, acc_spec, acc_spec, acc_spec),
+        out_shape=(jax.ShapeDtypeStruct(sph_tab.shape, _F32),
+                   jax.ShapeDtypeStruct(quad_tab.shape, _F32),
+                   jax.ShapeDtypeStruct(light_tab.shape, _F32),
+                   jax.ShapeDtypeStruct(cam.shape, _F32)),
+        interpret=interpret,
+    )(sph_tab, quad_tab, light_tab, cam, st2, px2, py2, g_r, g_g, g_b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _megakernel(meta, cfg, interpret, sph_tab, quad_tab, light_tab, cam,
+                st2, px2, py2):
+    """Differentiable megakernel core over packed tables.
+
+    Forward = :func:`_fwd_call`; backward = :func:`_bwd_call` (full PCG
+    replay + in-kernel reverse AD).  RNG state / pixel coords are integer
+    inputs with no tangent space."""
+    return _fwd_call(meta, cfg, interpret, sph_tab, quad_tab, light_tab,
+                     cam, st2, px2, py2)
+
+
+def _megakernel_fwd(meta, cfg, interpret, sph_tab, quad_tab, light_tab,
+                    cam, st2, px2, py2):
+    out = _fwd_call(meta, cfg, interpret, sph_tab, quad_tab, light_tab,
+                    cam, st2, px2, py2)
+    return out, (sph_tab, quad_tab, light_tab, cam, st2, px2, py2)
+
+
+def _megakernel_bwd(meta, cfg, interpret, res, cts):
+    sph_tab, quad_tab, light_tab, cam, st2, px2, py2 = res
+    g_r, g_g, g_b = cts
+    ds, dq, dl, dc = _bwd_call(meta, cfg, interpret, sph_tab, quad_tab,
+                               light_tab, cam, st2, px2, py2, g_r, g_g, g_b)
+    return ds, dq, dl, dc, None, None, None
+
+
+_megakernel.defvjp(_megakernel_fwd, _megakernel_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("meta", "cfg", "interpret"))
 def path_trace_pixels_pallas(rand_state, view_matrix, px, py,
                              scene: SceneData, meta: SceneMeta,
                              cfg: RenderConfig, interpret: bool = False):
     """Drop-in Pallas replacement for ``integrator.render.path_trace_pixels``
     on analytic scenes.  Returns radiance ``[N, 3]`` (the trailing RNG state
-    is not returned; callers discard it).  ``interpret=True`` runs the Mosaic
+    is not returned; callers discard it).  Differentiable w.r.t. ``scene``
+    (material tables, sphere/quad geometry, light quad) and ``view_matrix``
+    via the custom-VJP backward kernel.  ``interpret=True`` runs the Mosaic
     interpreter — used by CPU tests."""
     n = px.shape[0]
     tile = TILE_ROWS * LANES
@@ -621,25 +828,8 @@ def path_trace_pixels_pallas(rand_state, view_matrix, px, py,
     sph_tab, quad_tab, light_tab = pack_tables(scene)
     cam = view_matrix.astype(_F32)
 
-    spp = (max(int(cfg.samples_per_pixel ** 0.5), 1) ** 2
-           if cfg.stratify else cfg.samples_per_pixel)
-    kernel = _make_kernel(int(scene.spheres.count), int(scene.quads.count),
-                          cfg, meta, spp)
-
-    grid = (rows // TILE_ROWS,)
-    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
-    lane_spec = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((rows, LANES), _F32)
-    r, g, b = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[smem(), smem(), smem(), smem(),
-                  lane_spec, lane_spec, lane_spec],
-        out_specs=(lane_spec, lane_spec, lane_spec),
-        out_shape=(out_shape, out_shape, out_shape),
-        interpret=interpret,
-    )(sph_tab, quad_tab, light_tab, cam, st2, px2, py2)
+    r, g, b = _megakernel(meta, cfg, interpret, sph_tab, quad_tab,
+                          light_tab, cam, st2, px2, py2)
     radiance = jnp.stack([r.reshape(-1)[:n], g.reshape(-1)[:n],
                           b.reshape(-1)[:n]], axis=-1)
     return radiance

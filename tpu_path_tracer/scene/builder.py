@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from typing import List, Optional
 
 import numpy as np
@@ -122,11 +123,18 @@ class SceneBuilder:
                 np.concatenate(na_l), np.concatenate(nb_l),
                 np.concatenate(nc_l), np.concatenate(mat_l))
 
-    def build(self, bvh: str = "auto", max_leaf: int = 4):
+    def build(self, bvh: str = "auto", max_leaf: int = 4,
+              timings: Optional[dict] = None):
         """Returns ``(SceneData, SceneMeta)``.
 
         ``bvh``: "auto" | "median" | "sah" | "lbvh" | "none".  "auto" uses
         the dense brute-force sweep for tiny meshes and LBVH otherwise.
+        ``timings``: optional dict that receives split host-side timings —
+        ``bake_s`` (mesh -> world-space triangles) and ``bvh_build_s`` (the
+        BVH construction alone, native or NumPy).  Device upload is NOT in
+        either number: ``jnp.asarray`` transfers complete asynchronously
+        (block on the returned scene to measure them).  The reference logs
+        only a combined build time (``lib/BVH/bvhBuilder.js:8-29``).
         """
         # Materials.
         materials = Materials(
@@ -182,7 +190,10 @@ class SceneBuilder:
                       material_id=jnp.asarray(qmat))
 
         # Triangles + acceleration structure.
+        t_bake = time.perf_counter()
         a, b, c, na, nb, nc, tmat = self._bake_triangles()
+        if timings is not None:
+            timings["bake_s"] = time.perf_counter() - t_bake
         n_tris = len(a)
         flat_bvh = None
         traversal = "none"
@@ -193,6 +204,7 @@ class SceneBuilder:
             if bvh == "none":
                 traversal = "brute"
             else:
+                t_bvh = time.perf_counter()
                 mins, maxs = bvh_mod.triangle_aabbs(a, b, c)
                 # Native C++ builder when available (accel/bvh_native.cpp);
                 # the NumPy builders remain the reference implementation.
@@ -209,6 +221,8 @@ class SceneBuilder:
                         arrs = builder(mins, maxs, max_leaf=max_leaf)
                     else:
                         arrs = builder(mins, maxs, leaf_size=max_leaf)
+                if timings is not None:
+                    timings["bvh_build_s"] = time.perf_counter() - t_bvh
                 order = arrs.order
                 a, b, c = a[order], b[order], c[order]
                 na, nb, nc = na[order], nb[order], nc[order]
