@@ -150,6 +150,40 @@ def bench_fwd_wavefront(width=512, height=512, bounces=4):
     return {"mrays": n / dt / 1e6, "step_ms": dt * 1e3}
 
 
+def bench_fwd_reference_scene(width=512, height=512, bounces=4):
+    """The flagship reference_scene (fog/glass spheres, Cornell-style room,
+    12-tri glass cube mesh) through the fused Pallas megakernel — the
+    reference's signature workload in its single-dispatch shape
+    (shaders/main.wgsl:1-27 over the whole scene incl. the mesh)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import tpu_path_tracer as tpt
+    from tpu_path_tracer.core import rng
+    from tpu_path_tracer.kernels.pallas.megakernel import (
+        path_trace_pixels_pallas, supported)
+
+    scene, meta, _ = tpt.builtin.reference_scene(include_mesh=True)
+    cfg = tpt.RenderConfig(width=width, height=height, max_bounces=bounces)
+    assert supported(scene, meta, cfg)
+    cam = tpt.Camera(eye=[0.5, 0.0, 2.5], center=[0, 0, 0])  # index.js:39
+    view = jnp.asarray(cam.view_matrix)
+    n, pix, px, py = _pixel_grid(width, height)
+    rs0 = rng.seed(pix, jnp.int32(7))
+
+    @jax.jit
+    def frame(rs, view, px, py, scene):
+        r = path_trace_pixels_pallas(rs, view, px, py, scene, meta, cfg)
+        return rs + r[:, 0].astype(jnp.uint32)
+
+    step = lambda rs: frame(rs, view, px, py, scene)
+    np.asarray(step(rs0))
+    # Wide window: at ~1-3 ms/frame the 3-vs-23 marginal drowns in this
+    # runtime's ~50-90 ms fixed dispatch/materialization noise.
+    dt = _marginal(_chain_run(step, rs0), 10, 110)
+    return {"mrays": n / dt / 1e6, "step_ms": dt * 1e3}
+
+
 def bench_fwd_pallas(width=512, height=512, bounces=4):
     import numpy as np
     import jax
@@ -174,7 +208,8 @@ def bench_fwd_pallas(width=512, height=512, bounces=4):
 
     step = lambda rs: frame(rs, view, px, py, scene)
     np.asarray(step(rs0))
-    dt = _marginal(_chain_run(step, rs0), 3, 23)
+    # Wide window — see bench_fwd_reference_scene.
+    dt = _marginal(_chain_run(step, rs0), 10, 110)
     return {"mrays": n / dt / 1e6, "step_ms": dt * 1e3}
 
 
@@ -265,6 +300,7 @@ WORKLOADS = {
     "fwd_bwd": bench_fwd_bwd,
     "fwd_wavefront": bench_fwd_wavefront,
     "fwd_pallas": bench_fwd_pallas,
+    "fwd_reference_scene": bench_fwd_reference_scene,
     "mesh_bvh": bench_mesh_bvh,
     "scaling": bench_scaling,
 }
@@ -345,6 +381,8 @@ def main():
             "fwd_bwd_wavefront_mrays": get("fwd_bwd", "mrays"),
             "fwd_wavefront_mrays": get("fwd_wavefront", "mrays"),
             "fwd_pallas_megakernel_mrays": get("fwd_pallas", "mrays"),
+            "fwd_reference_scene_megakernel_mrays": get(
+                "fwd_reference_scene", "mrays"),
             "fwd_mesh_bvh_82k_tris_mrays": get("mesh_bvh", "mrays"),
             "fwd_bwd_step_ms": get("fwd_bwd", "step_ms"),
             "fwd_wavefront_ms": get("fwd_wavefront", "step_ms"),

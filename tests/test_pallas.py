@@ -52,12 +52,28 @@ def test_megakernel_matches_wavefront_cornell(nee):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
-def test_megakernel_matches_wavefront_reference_scene():
-    # Fog volumes + glass shells + mirror quad — all four BSDFs live.
-    scene, meta, _ = tpt.builtin.reference_scene(include_mesh=False)
+@pytest.mark.parametrize("mesh", [False, True])
+def test_megakernel_matches_wavefront_reference_scene(mesh):
+    # Fog volumes + glass shells + mirror quad — all four BSDFs live;
+    # with mesh=True the 12-triangle glass cube exercises the unrolled
+    # Möller-Trumbore loop (the reference's single-dispatch scene shape).
+    scene, meta, _ = tpt.builtin.reference_scene(include_mesh=mesh)
     cfg = tpt.RenderConfig(width=16, height=8, max_bounces=4)
     ref, got = _run_both(scene, meta, cfg, eye=[0.5, 0.0, 2.5])
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_megakernel_vjp_triangle_vertex_grads():
+    """Vertex-position gradients through the megakernel's unrolled
+    triangle loop match the wavefront's (small mesh, NEE off to keep the
+    interpret-mode backward fast)."""
+    scene, meta, _ = tpt.builtin.reference_scene(include_mesh=True)
+    cfg = tpt.RenderConfig(width=8, height=8, max_bounces=2)
+    (lw, gw), (lm, gm) = _grad_both(
+        scene, meta, cfg, eye=[0.5, 0.0, 2.5],
+        groups=("emission", "vertices"))
+    assert abs(lw - lm) <= 1e-6 * max(abs(lw), 1.0)
+    _assert_grads_close(gw, gm)
 
 
 def test_megakernel_stratified_spp():

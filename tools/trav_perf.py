@@ -10,7 +10,7 @@ import numpy as np
 
 from tpu_path_tracer.core.config import LAMBERTIAN
 from tpu_path_tracer.kernels.pallas.traversal import (
-    CHUNKS_PER_STEP, TILE, _morton_key, chunk_cull, pack_tris,
+    CHUNKS_PER_STEP, TILE, _morton_key6d, chunk_cull, pack_tris,
     tile_closest_hit)
 from tpu_path_tracer.scene import procedural
 from tpu_path_tracer.scene.builder import SceneBuilder
@@ -18,15 +18,23 @@ from tpu_path_tracer.scene.builder import SceneBuilder
 N = 512 * 512
 
 
-def timeit(fn, iters=5):
-    fn()  # warm
-    jax.block_until_ready(fn())
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn()
-    np.asarray(jax.tree.leaves(out)[0])
-    return (time.perf_counter() - t0) / iters
+def timeit(make_step, iters=8):
+    """Chained marginal timing: this runtime defers/pipelines dispatch, so
+    each iteration's input must depend on the previous output and the
+    final result must be host-materialized (see bench.py docstring)."""
+    step = jax.jit(make_step)
+    float(step(jnp.float32(0)))  # compile + warm
+
+    def run(n):
+        e = jnp.float32(0)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            e = step(e)
+        float(e)
+        return time.perf_counter() - t0
+
+    t1, t2 = run(2), run(2 + iters)
+    return (t2 - t1) / iters
 
 
 def main():
@@ -69,17 +77,25 @@ def main():
 
     @jax.jit
     def cull(o, d, t):
-        key = _morton_key(o, d, bvh.mins[0], bvh.maxs[0])
+        key = _morton_key6d(o, d, bvh.mins[0], bvh.maxs[0])
         p = jnp.argsort(key)
         return chunk_cull(o[p], d[p], t[p], cmin, cmax)
 
     for name, oo, dd_ in [("coherent", o_c, d_c), ("permuted", o_i, d_i),
                           ("bounce-like", o_b, d_b)]:
-        dt_cull = timeit(lambda: cull(oo, dd_, t0))
+        def cull_step(e, oo=oo, dd_=dd_):
+            _, _, count = cull(oo + e, dd_, t0)
+            return jnp.float32(jnp.sum(count)) * 0e-30 + e * 0.5
+
+        def full_step(e, oo=oo, dd_=dd_):
+            _, i = tile_closest_hit(oo + e, dd_, bvh, packed, t0,
+                                    t_min=1e-4, n_tris=nt)
+            return jnp.float32(jnp.sum(i)) * 0e-30 + e * 0.5
+
+        dt_cull = timeit(cull_step)
         _, _, count = cull(oo, dd_, t0)
         work = int(np.asarray(jnp.sum(count)))
-        dt = timeit(lambda: tile_closest_hit(
-            oo, dd_, bvh, packed, t0, t_min=1e-4, n_tris=nt))
+        dt = timeit(full_step)
         hits = int((np.asarray(tile_closest_hit(
             oo, dd_, bvh, packed, t0, t_min=1e-4, n_tris=nt)[1]) >= 0).sum())
         print(f"{name}: cull {dt_cull*1e3:.2f} ms, total {dt*1e3:.2f} ms, "

@@ -58,6 +58,14 @@ def _add_common(p):
     p.add_argument("--eye", type=float, nargs=3, default=None)
     p.add_argument("--devices", type=int, default=0,
                    help="shard rays over this many devices (0 = single)")
+    p.add_argument("--multihost", action="store_true",
+                   help="bootstrap jax.distributed before device use so "
+                        "the mesh spans every host (JAX_COORDINATOR_"
+                        "ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID env "
+                        "vars, or TPU-pod auto-detection)")
+    p.add_argument("--megakernel", action="store_true",
+                   help="route tracing through the fused Pallas "
+                        "megakernel (analytic scenes + small meshes)")
 
 
 def _make_cfg(args):
@@ -65,13 +73,25 @@ def _make_cfg(args):
     return RenderConfig(width=args.width, height=args.height,
                         samples_per_pixel=args.spp, max_bounces=args.bounces,
                         importance_sampling=args.importance_sampling,
-                        stratify=args.stratify)
+                        stratify=args.stratify,
+                        use_megakernel=getattr(args, "megakernel", False))
+
+
+def _maybe_multihost(args):
+    """Bootstrap multi-host execution BEFORE any device use (the mesh then
+    spans every host; the shard_map specs are host-count agnostic)."""
+    if getattr(args, "multihost", False):
+        from .dist.sharding import init_distributed
+        idx = init_distributed()
+        print(f"multihost: process {idx} of "
+              f"{__import__('jax').process_count()}")
 
 
 def cmd_render(args):
     from .core.camera import Camera
     from .renderer import Renderer
 
+    _maybe_multihost(args)
     scene, meta, eye = _build_scene(args)
     cfg = _make_cfg(args)
     cam = Camera(eye=args.eye or eye, center=[0, 0, 0])
@@ -85,6 +105,12 @@ def cmd_render(args):
     if args.resume:
         r.load_checkpoint(args.resume)
         print(f"resumed at frame {r.frame_num}")
+    if args.interactive:
+        from .preview import run_preview
+        run_preview(r, max_fps=args.max_fps)
+        r.save_png(args.output)
+        print(f"wrote {args.output}")
+        return
     t0 = time.time()
     r.render_animation(args.frames, checkpoint_path=args.checkpoint,
                        checkpoint_every=args.checkpoint_every)
@@ -172,6 +198,7 @@ def cmd_train(args):
     from .dist.render_dist import make_train_step, padded_pixels
     from .dist.sharding import make_mesh, ray_sharding, shard_scene
 
+    _maybe_multihost(args)
     scene, meta, eye = _build_scene(args)
     cfg = _make_cfg(args).replace(width=64, height=64,
                                   max_bounces=min(args.bounces, 4))
@@ -188,9 +215,21 @@ def cmd_train(args):
                             ray_sharding(mesh))
     target = frame(target, jnp.int32(1), jnp.bool_(True), view, scene)
 
-    # Perturb and recover.
-    true_params = extract_params(scene, groups=("emission", "bsdf"))
-    params = jax.tree_util.tree_map(lambda x: x * 0.5, true_params)
+    # Perturb and recover.  Vertex training goes through apply_params'
+    # automatic BVH refit (diff/params.py), so meshes stay traversable as
+    # geometry moves.
+    groups = tuple(g.strip() for g in args.params.split(",") if g.strip())
+    true_params = extract_params(scene, groups=groups)
+
+    def perturb(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name.startswith(("tri_", "sphere_", "quad_")):
+            # Geometry: small additive offset, not a scale (x0.5 would
+            # collapse the mesh through walls).
+            return x + 0.05
+        return x * 0.5
+
+    params = jax.tree_util.tree_map_with_path(perturb, true_params)
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(params)
     step = make_train_step(mesh, scene, meta, cfg, apply_params, optimizer)
@@ -226,6 +265,11 @@ def main(argv=None):
     pr.add_argument("--resume", default=None)
     pr.add_argument("--log-performance", action="store_true")
     pr.add_argument("--log-samples", action="store_true")
+    pr.add_argument("--interactive", action="store_true",
+                    help="terminal orbit-camera preview (a/d orbit, w/s "
+                         "zoom, arrows pan, q quit) — the reference's "
+                         "interactive UX over ssh")
+    pr.add_argument("--max-fps", type=float, default=0.0)
     pr.set_defaults(fn=cmd_render)
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
@@ -240,6 +284,9 @@ def main(argv=None):
     _add_common(pt)
     pt.add_argument("--steps", type=int, default=100)
     pt.add_argument("--lr", type=float, default=5e-2)
+    pt.add_argument("--params", default="emission,bsdf",
+                    help="comma-separated parameter groups to recover: "
+                         "emission,bsdf,vertices,spheres,quads")
     pt.set_defaults(fn=cmd_train)
 
     pi = sub.add_parser("info", help="environment info")

@@ -50,11 +50,15 @@ def extract_params(scene: SceneData,
 def apply_params(scene: SceneData, params: Dict) -> SceneData:
     """Splice a (possibly partial) parameter dict back into the scene.
 
-    Note on geometry: moving triangle vertices invalidates BVH node bounds;
-    gradients remain correct (the hit search is detached and re-run each
-    step) but the BVH bounds should be refreshed with
-    ``accel.refit.refit_bvh`` (on-device range-min/max, no rebuild) so the
-    traversal does not cull moved triangles."""
+    Geometry note: moving triangle vertices invalidates BVH node bounds,
+    so when the ``vertices`` group is present and the scene carries a BVH,
+    the bounds are refreshed in the same trace via
+    ``accel.refit.refit_bvh`` (on-device range-min/max over the unchanged
+    topology — no host rebuild; the refit itself is gradient-detached like
+    the rest of the hit search).  Every training path that goes through
+    ``apply_params`` — ``cli train``, the benchmark loss, the sharded
+    ``dist.render_dist`` step — therefore keeps traversal correct as
+    vertices move."""
     mats = scene.materials
     if "emission" in params:
         mats = mats._replace(emission=params["emission"])
@@ -69,6 +73,10 @@ def apply_params(scene: SceneData, params: Dict) -> SceneData:
     if "tri_a" in params:
         scene = scene._replace(triangles=scene.triangles._replace(
             a=params["tri_a"], b=params["tri_b"], c=params["tri_c"]))
+        if scene.bvh is not None:
+            from ..accel.refit import refit_bvh
+            scene = scene._replace(bvh=refit_bvh(scene.bvh,
+                                                 scene.triangles))
     if "sphere_center" in params:
         scene = scene._replace(spheres=scene.spheres._replace(
             center=params["sphere_center"], radius=params["sphere_radius"]))

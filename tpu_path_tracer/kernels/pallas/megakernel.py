@@ -6,15 +6,19 @@ loop, intersection, and shading all live in a single WGSL dispatch
 per-ray state never leaves registers.  Our default TPU design is the opposite
 — a wavefront ``lax.scan`` (``integrator.path_tracer``) whose carry
 materializes to HBM at every bounce boundary.  This kernel brings the
-megakernel shape back *for scenes without triangle meshes*: the full sample
+megakernel shape back: the full sample
 and bounce loops run inside one ``pallas_call``, all ray state (PCG state,
 ray, radiance, throughput, liveness) stays in VMEM planes for the whole
 path, and the only HBM traffic is one read of (rand_state, px, py) and one
 write of the radiance image.
 
 Scope: sphere + quad scenes (the reference's default scene family,
-``lib/scene.js:36-162``) with all four BSDFs and NEE/MIS.  Triangle meshes
-keep the wavefront + BVH path (``kernels.traversal``).
+``lib/scene.js:36-162``) with all four BSDFs and NEE/MIS, plus SMALL
+triangle meshes (<= MAX_MEGAKERNEL_TRIS, statically unrolled — covers the
+default scene's 12-triangle glass cube, so the flagship scene runs the
+single-dispatch fast path like the reference's one megakernel,
+``shaders/main.wgsl:1-27``).  Large meshes keep the wavefront + chunk-sweep
+traversal (``kernels/pallas/traversal.py``).
 
 Semantics contract: this kernel replays the wavefront integrator draw-for-
 draw — the same per-lane PCG32 (``core.rng``, bit-exact integer math), the
@@ -142,6 +146,15 @@ def _pcg(state):
 SPH_COLS = 17
 # Quad row: q3 u3 v3 n3 d w3 | col3 spec3 emi3 sstr rough eta mtype (29)
 QUAD_COLS = 29
+# Triangle row: a3 b3 c3 na3 nb3 nc3 | mat13 (31)
+TRI_COLS = 31
+# Small-mesh budget for the unrolled triangle loop: the reference's ONE
+# megakernel dispatch covers its mesh too (shaders/main.wgsl:1-27 ->
+# hitRay.wgsl:42-110); here each triangle is ~45 statically unrolled VPU
+# ops per bounce, so tiny meshes (the default scene's 12-tri glass cube,
+# lib/scene.js:164-251) ride the fast path while big meshes keep the
+# wavefront + chunk-sweep traversal.
+MAX_MEGAKERNEL_TRIS = 64
 
 
 def _mat_cols(materials, mid):
@@ -183,22 +196,35 @@ def pack_tables(scene: SceneData):
             + _mat_cols(scene.materials, qd.material_id), axis=1)
     else:
         quad_tab = jnp.zeros((1, QUAD_COLS), _F32)
+    tr = scene.triangles
+    if tr.count:
+        tri_tab = jnp.stack(
+            [tr.a[:, 0], tr.a[:, 1], tr.a[:, 2],
+             tr.b[:, 0], tr.b[:, 1], tr.b[:, 2],
+             tr.c[:, 0], tr.c[:, 1], tr.c[:, 2],
+             tr.na[:, 0], tr.na[:, 1], tr.na[:, 2],
+             tr.nb[:, 0], tr.nb[:, 1], tr.nb[:, 2],
+             tr.nc[:, 0], tr.nc[:, 1], tr.nc[:, 2]]
+            + _mat_cols(scene.materials, tr.material_id), axis=1)
+    else:
+        tri_tab = jnp.zeros((1, TRI_COLS), _F32)
     li = jnp.clip(scene.light_index, 0, max(qd.count - 1, 0))
     light_tab = (jnp.concatenate([qd.q[li], qd.u[li], qd.v[li]])[None]
                  if qd.count else jnp.zeros((1, 9), _F32))
-    return sph_tab, quad_tab, light_tab
+    return sph_tab, quad_tab, tri_tab, light_tab
 
 
-def _make_tracer(n_spheres: int, n_quads: int, cfg: RenderConfig,
-                 meta: SceneMeta, spp: int, unroll: bool):
+def _make_tracer(n_spheres: int, n_quads: int, n_tris: int,
+                 cfg: RenderConfig, meta: SceneMeta, spp: int,
+                 unroll: bool):
     """Build the shared tile tracer with all static facts baked in.
 
-    Returns ``trace_tile(sph_at, quad_at, light_at, cam_at, state0, pxf,
-    pyf) -> (r, g, b)`` where the ``*_at(i, k)`` accessors read one scene
-    scalar — SMEM ref reads in the forward kernel, value indexing in the
-    differentiable backward kernel.  ``unroll=True`` replaces the
-    sample/bounce ``fori_loop``s with static Python unrolls so in-kernel
-    reverse-mode AD keeps its residuals as VMEM SSA values.
+    Returns ``trace_tile(sph_at, quad_at, tri_at, light_at, cam_at,
+    state0, pxf, pyf) -> (r, g, b)`` where the ``*_at(i, k)`` accessors
+    read one scene scalar — SMEM ref reads in the forward kernel, value
+    indexing in the differentiable backward kernel.  ``unroll=True``
+    replaces the sample/bounce ``fori_loop``s with static Python unrolls
+    so in-kernel reverse-mode AD keeps its residuals as VMEM SSA values.
     """
     w = np.float32(cfg.width)
     h = np.float32(cfg.height)
@@ -217,7 +243,8 @@ def _make_tracer(n_spheres: int, n_quads: int, cfg: RenderConfig,
     grid_n = max(int(cfg.samples_per_pixel ** 0.5), 1) if cfg.stratify else 1
     sub_scale = np.float32(1.0 / grid_n)
 
-    def trace_tile(sph_at, quad_at, light_at, cam_at, state0, pxf, pyf):
+    def trace_tile(sph_at, quad_at, tri_at, light_at, cam_at, state0,
+                   pxf, pyf):
         # Camera basis columns + origin (shaders/main.wgsl:8,
         # shootRay.wgsl:54-60) — scene scalars broadcast per use.
         b0x, b0y, b0z = cam_at(0, 0), cam_at(1, 0), cam_at(2, 0)
@@ -275,10 +302,11 @@ def _make_tracer(n_spheres: int, n_quads: int, cfg: RenderConfig,
             # ---- hit pass: unrolled primitive loop, select-merged winner.
             t_best = jnp.full_like(ox, inf)
             # Selected per-lane planes (kind: 0 miss, 1 sphere, 2 quad,
-            # 3 volume).
+            # 3 volume, 4 triangle).
             kind = zero
             scx, scy, scz, sr = zero, zero, zero, zero + 1.0
             qnx, qny, qnz = zero, zero, zero
+            tnx, tny, tnz = zero, zero, zero + 1.0
             mat = [zero] * 13  # col3 spec3 emi3 sstr rough eta mtype
 
             for i in range(n_spheres):
@@ -309,6 +337,54 @@ def _make_tracer(n_spheres: int, n_quads: int, cfg: RenderConfig,
                 qnx = jnp.where(win, n[0], qnx)
                 qny = jnp.where(win, n[1], qny)
                 qnz = jnp.where(win, n[2], qnz)
+                mat = [jnp.where(win, mrow[k], mat[k]) for k in range(13)]
+
+            for i in range(n_tris):
+                # Möller-Trumbore in world space, scalar triangle data vs
+                # per-lane ray planes (semantics of kernels.intersect
+                # .triangle_t incl. the reference's odd t_min barycentric
+                # guards, common.wgsl:191-242).
+                ax_, ay_, az_ = tri_at(i, 0), tri_at(i, 1), tri_at(i, 2)
+                bx_, by_, bz_ = tri_at(i, 3), tri_at(i, 4), tri_at(i, 5)
+                cx_, cy_, cz_ = tri_at(i, 6), tri_at(i, 7), tri_at(i, 8)
+                mrow = [tri_at(i, 18 + k) for k in range(13)]
+                abx, aby, abz = bx_ - ax_, by_ - ay_, bz_ - az_
+                acx, acy, acz = cx_ - ax_, cy_ - ay_, cz_ - az_
+                nx_ = aby * acz - abz * acy
+                ny_ = abz * acx - abx * acz
+                nz_ = abx * acy - aby * acx
+                det = -(dx * nx_ + dy * ny_ + dz * nz_)
+                aox, aoy, aoz = ox - ax_, oy - ay_, oz - az_
+                daox, daoy, daoz = _cross3(aox, aoy, aoz, dx, dy, dz)
+                det_ok = jnp.abs(det) >= t_min
+                # Guarded reciprocal: an unguarded 1/0 breeds inf that
+                # NaNs vertex gradients through the select (0 * inf in
+                # reverse mode — same hazard class as kernels/hit.py).
+                invd = jnp.reciprocal(jnp.where(det_ok, det, 1.0))
+                tt = (aox * nx_ + aoy * ny_ + aoz * nz_) * invd
+                uu_ = (acx * daox + acy * daoy + acz * daoz) * invd
+                vv_ = -(abx * daox + aby * daoy + abz * daoz) * invd
+                ww_ = 1.0 - uu_ - vv_
+                okt = (det_ok & (tt >= t_min) & (tt <= t_max)
+                       & (uu_ >= t_min) & (vv_ >= t_min) & (ww_ >= t_min))
+                tt = jnp.where(okt, tt, inf)
+                win = tt < t_best
+                # Smooth barycentric shading normal (common.wgsl:230),
+                # blended per candidate so only 3 planes select-merge.
+                bu = jnp.where(okt, uu_, 1.0 / 3.0)
+                bv = jnp.where(okt, vv_, 1.0 / 3.0)
+                bw = jnp.where(okt, ww_, 1.0 / 3.0)
+                bnx = (tri_at(i, 9) * bw + tri_at(i, 12) * bu
+                       + tri_at(i, 15) * bv)
+                bny = (tri_at(i, 10) * bw + tri_at(i, 13) * bu
+                       + tri_at(i, 16) * bv)
+                bnz = (tri_at(i, 11) * bw + tri_at(i, 14) * bu
+                       + tri_at(i, 17) * bv)
+                t_best = jnp.where(win, tt, t_best)
+                kind = jnp.where(win, 4.0, kind)
+                tnx = jnp.where(win, bnx, tnx)
+                tny = jnp.where(win, bny, tny)
+                tnz = jnp.where(win, bnz, tnz)
                 mat = [jnp.where(win, mrow[k], mat[k]) for k in range(13)]
 
             if has_volumes:
@@ -366,6 +442,12 @@ def _make_tracer(n_spheres: int, n_quads: int, cfg: RenderConfig,
             nx = jnp.where(is_quad, qnx, snx)
             ny = jnp.where(is_quad, qny, sny)
             nz = jnp.where(is_quad, qnz, snz)
+            if n_tris:
+                tbx, tby, tbz = _norm3(tnx, tny, tnz)
+                is_tri = kind == 4.0
+                nx = jnp.where(is_tri, tbx, nx)
+                ny = jnp.where(is_tri, tby, ny)
+                nz = jnp.where(is_tri, tbz, nz)
             is_vol_lane = kind == 3.0
             front = (_dot3(dx, dy, dz, nx, ny, nz) < 0.0) | is_vol_lane
             flip = jnp.where(front, 1.0, -1.0)
@@ -655,9 +737,12 @@ def _resolved_spp(cfg: RenderConfig) -> int:
 
 
 def supported(scene: SceneData, meta: SceneMeta, cfg: RenderConfig) -> bool:
-    """Whether the megakernel covers this (scene, config)."""
-    return (int(scene.triangles.count) == 0
-            and int(scene.spheres.count) + int(scene.quads.count) > 0)
+    """Whether the megakernel covers this (scene, config): analytic
+    spheres/quads plus small meshes (unrolled triangle loop, like the
+    reference's single dispatch over its whole scene)."""
+    return (int(scene.triangles.count) <= MAX_MEGAKERNEL_TRIS
+            and (int(scene.spheres.count) + int(scene.quads.count)
+                 + int(scene.triangles.count)) > 0)
 
 
 def vjp_supported(scene: SceneData, meta: SceneMeta,
@@ -669,18 +754,23 @@ def vjp_supported(scene: SceneData, meta: SceneMeta,
             and cfg.max_bounces * _resolved_spp(cfg) <= MAX_UNROLL_BOUNCES)
 
 
-def _fwd_call(meta, cfg, interpret, sph_tab, quad_tab, light_tab, cam,
-              st2, px2, py2):
-    """Forward pallas_call: SMEM scene tables, fori_loop sample/bounce."""
+def _fwd_call(meta, cfg, interpret, n_tris, sph_tab, quad_tab, tri_tab,
+              light_tab, cam, st2, px2, py2):
+    """Forward pallas_call: SMEM scene tables, fori_loop sample/bounce.
+
+    ``n_tris`` is the REAL triangle count (static): a triangle-free scene
+    still packs a one-row dummy table (pallas inputs need >= 1 row) but
+    skips the unrolled loop entirely."""
     rows = st2.shape[0]
     n_sph, n_quads = sph_tab.shape[0], quad_tab.shape[0]
-    tracer = _make_tracer(n_sph, n_quads, cfg, meta, _resolved_spp(cfg),
-                          unroll=False)
+    tracer = _make_tracer(n_sph, n_quads, n_tris, cfg, meta,
+                          _resolved_spp(cfg), unroll=False)
 
-    def kernel(sph_ref, quad_ref, light_ref, cam_ref, st_ref, px_ref,
-               py_ref, r_ref, g_ref, b_ref):
+    def kernel(sph_ref, quad_ref, tri_ref, light_ref, cam_ref, st_ref,
+               px_ref, py_ref, r_ref, g_ref, b_ref):
         r, g, b = tracer(
             lambda i, k: sph_ref[i, k], lambda i, k: quad_ref[i, k],
+            lambda i, k: tri_ref[i, k],
             lambda i, k: light_ref[i, k], lambda i, k: cam_ref[i, k],
             st_ref[:], px_ref[:].astype(_F32), py_ref[:].astype(_F32))
         r_ref[:] = r
@@ -695,16 +785,16 @@ def _fwd_call(meta, cfg, interpret, sph_tab, quad_tab, light_tab, cam,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem(), smem(), smem(), smem(),
+        in_specs=[smem(), smem(), smem(), smem(), smem(),
                   lane_spec, lane_spec, lane_spec],
         out_specs=(lane_spec, lane_spec, lane_spec),
         out_shape=(out_shape, out_shape, out_shape),
         interpret=interpret,
-    )(sph_tab, quad_tab, light_tab, cam, st2, px2, py2)
+    )(sph_tab, quad_tab, tri_tab, light_tab, cam, st2, px2, py2)
 
 
-def _bwd_call(meta, cfg, interpret, sph_tab, quad_tab, light_tab, cam,
-              st2, px2, py2, g_r, g_g, g_b):
+def _bwd_call(meta, cfg, interpret, n_tris, sph_tab, quad_tab, tri_tab,
+              light_tab, cam, st2, px2, py2, g_r, g_g, g_b):
     """Backward pallas_call: replay the identical PCG stream with the scene
     tables as VMEM *values* and differentiate the unrolled tracer in-kernel
     (``jax.grad`` inside the kernel body — residuals stay in VMEM).  Table
@@ -719,25 +809,27 @@ def _bwd_call(meta, cfg, interpret, sph_tab, quad_tab, light_tab, cam,
             f"(use_megakernel=False) for deep-bounce training")
     rows = st2.shape[0]
     n_sph, n_quads = sph_tab.shape[0], quad_tab.shape[0]
-    tracer = _make_tracer(n_sph, n_quads, cfg, meta, spp, unroll=True)
+    tracer = _make_tracer(n_sph, n_quads, n_tris, cfg, meta, spp,
+                          unroll=True)
 
-    def kernel(sph_ref, quad_ref, light_ref, cam_ref, st_ref, px_ref,
-               py_ref, gr_ref, gg_ref, gb_ref,
-               dsph_ref, dquad_ref, dlight_ref, dcam_ref):
+    def kernel(sph_ref, quad_ref, tri_ref, light_ref, cam_ref, st_ref,
+               px_ref, py_ref, gr_ref, gg_ref, gb_ref,
+               dsph_ref, dquad_ref, dtri_ref, dlight_ref, dcam_ref):
         state0 = st_ref[:]
         pxf = px_ref[:].astype(_F32)
         pyf = py_ref[:].astype(_F32)
         gr, gg, gb = gr_ref[:], gg_ref[:], gb_ref[:]
 
-        def scalar_loss(sph, quad, light, camv):
+        def scalar_loss(sph, quad, tri, light, camv):
             r, g, b = tracer(
                 lambda i, k: sph[i, k], lambda i, k: quad[i, k],
+                lambda i, k: tri[i, k],
                 lambda i, k: light[i, k], lambda i, k: camv[i, k],
                 state0, pxf, pyf)
             return jnp.sum(r * gr + g * gg + b * gb)
 
-        ds, dq, dl, dc = jax.grad(scalar_loss, argnums=(0, 1, 2, 3))(
-            sph_ref[:], quad_ref[:], light_ref[:], cam_ref[:])
+        ds, dq, dt, dl, dc = jax.grad(scalar_loss, argnums=(0, 1, 2, 3, 4))(
+            sph_ref[:], quad_ref[:], tri_ref[:], light_ref[:], cam_ref[:])
 
         step = pl.program_id(0)
 
@@ -745,11 +837,13 @@ def _bwd_call(meta, cfg, interpret, sph_tab, quad_tab, light_tab, cam,
         def _():
             dsph_ref[:] = jnp.zeros(dsph_ref.shape, _F32)
             dquad_ref[:] = jnp.zeros(dquad_ref.shape, _F32)
+            dtri_ref[:] = jnp.zeros(dtri_ref.shape, _F32)
             dlight_ref[:] = jnp.zeros(dlight_ref.shape, _F32)
             dcam_ref[:] = jnp.zeros(dcam_ref.shape, _F32)
 
         dsph_ref[:] += ds
         dquad_ref[:] += dq
+        dtri_ref[:] += dt
         dlight_ref[:] += dl
         dcam_ref[:] += dc
 
@@ -761,43 +855,46 @@ def _bwd_call(meta, cfg, interpret, sph_tab, quad_tab, light_tab, cam,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[vmem(), vmem(), vmem(), vmem(),
+        in_specs=[vmem(), vmem(), vmem(), vmem(), vmem(),
                   lane_spec, lane_spec, lane_spec,
                   lane_spec, lane_spec, lane_spec],
-        out_specs=(acc_spec, acc_spec, acc_spec, acc_spec),
+        out_specs=(acc_spec, acc_spec, acc_spec, acc_spec, acc_spec),
         out_shape=(jax.ShapeDtypeStruct(sph_tab.shape, _F32),
                    jax.ShapeDtypeStruct(quad_tab.shape, _F32),
+                   jax.ShapeDtypeStruct(tri_tab.shape, _F32),
                    jax.ShapeDtypeStruct(light_tab.shape, _F32),
                    jax.ShapeDtypeStruct(cam.shape, _F32)),
         interpret=interpret,
-    )(sph_tab, quad_tab, light_tab, cam, st2, px2, py2, g_r, g_g, g_b)
+    )(sph_tab, quad_tab, tri_tab, light_tab, cam, st2, px2, py2,
+      g_r, g_g, g_b)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _megakernel(meta, cfg, interpret, sph_tab, quad_tab, light_tab, cam,
-                st2, px2, py2):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _megakernel(meta, cfg, interpret, n_tris, sph_tab, quad_tab, tri_tab,
+                light_tab, cam, st2, px2, py2):
     """Differentiable megakernel core over packed tables.
 
     Forward = :func:`_fwd_call`; backward = :func:`_bwd_call` (full PCG
     replay + in-kernel reverse AD).  RNG state / pixel coords are integer
     inputs with no tangent space."""
-    return _fwd_call(meta, cfg, interpret, sph_tab, quad_tab, light_tab,
-                     cam, st2, px2, py2)
+    return _fwd_call(meta, cfg, interpret, n_tris, sph_tab, quad_tab,
+                     tri_tab, light_tab, cam, st2, px2, py2)
 
 
-def _megakernel_fwd(meta, cfg, interpret, sph_tab, quad_tab, light_tab,
-                    cam, st2, px2, py2):
-    out = _fwd_call(meta, cfg, interpret, sph_tab, quad_tab, light_tab,
-                    cam, st2, px2, py2)
-    return out, (sph_tab, quad_tab, light_tab, cam, st2, px2, py2)
+def _megakernel_fwd(meta, cfg, interpret, n_tris, sph_tab, quad_tab,
+                    tri_tab, light_tab, cam, st2, px2, py2):
+    out = _fwd_call(meta, cfg, interpret, n_tris, sph_tab, quad_tab,
+                    tri_tab, light_tab, cam, st2, px2, py2)
+    return out, (sph_tab, quad_tab, tri_tab, light_tab, cam, st2, px2, py2)
 
 
-def _megakernel_bwd(meta, cfg, interpret, res, cts):
-    sph_tab, quad_tab, light_tab, cam, st2, px2, py2 = res
+def _megakernel_bwd(meta, cfg, interpret, n_tris, res, cts):
+    sph_tab, quad_tab, tri_tab, light_tab, cam, st2, px2, py2 = res
     g_r, g_g, g_b = cts
-    ds, dq, dl, dc = _bwd_call(meta, cfg, interpret, sph_tab, quad_tab,
-                               light_tab, cam, st2, px2, py2, g_r, g_g, g_b)
-    return ds, dq, dl, dc, None, None, None
+    ds, dq, dt, dl, dc = _bwd_call(meta, cfg, interpret, n_tris, sph_tab,
+                                   quad_tab, tri_tab, light_tab, cam,
+                                   st2, px2, py2, g_r, g_g, g_b)
+    return ds, dq, dt, dl, dc, None, None, None
 
 
 _megakernel.defvjp(_megakernel_fwd, _megakernel_bwd)
@@ -825,11 +922,12 @@ def path_trace_pixels_pallas(rand_state, view_matrix, px, py,
     st2 = pad2d(rand_state, jnp.uint32)
     px2 = pad2d(px, jnp.int32)
     py2 = pad2d(py, jnp.int32)
-    sph_tab, quad_tab, light_tab = pack_tables(scene)
+    sph_tab, quad_tab, tri_tab, light_tab = pack_tables(scene)
     cam = view_matrix.astype(_F32)
 
-    r, g, b = _megakernel(meta, cfg, interpret, sph_tab, quad_tab,
-                          light_tab, cam, st2, px2, py2)
+    r, g, b = _megakernel(meta, cfg, interpret,
+                          int(scene.triangles.count), sph_tab, quad_tab,
+                          tri_tab, light_tab, cam, st2, px2, py2)
     radiance = jnp.stack([r.reshape(-1)[:n], g.reshape(-1)[:n],
                           b.reshape(-1)[:n]], axis=-1)
     return radiance

@@ -1,61 +1,63 @@
-"""Dense chunk-AABB culling (XLA) + MXU matmul triangle sweep (Pallas).
+"""Per-ray chunk culling (XLA) + compacted MXU matmul sweep (Pallas).
 
-Why: XLA lowers per-lane gathers on TPU at ~1 row/cycle — a 262k-ray gather
-costs ~0.7 ms *per traversal step*, which puts any per-ray BVH walk (the
-GPU-native shape, ``shaders/hitRay.wgsl:42-110``) behind a ~100 ms/frame
-floor.  The TPU-native decomposition splits the irregular work (pruning)
-from the regular work (intersection math) and gives each to the engine that
-is fast at it:
+Why: XLA lowers per-lane gathers on TPU at ~1 row/cycle — any per-ray BVH
+walk (the GPU-native shape, ``shaders/hitRay.wgsl:42-110``) pays that on
+every traversal step and lands orders of magnitude off speed-of-light.
+The TPU-native decomposition does the irregular work (pruning) as DENSE
+vector math and the regular work (intersection) as MXU matmuls:
 
-1. **Cull phase — dense chunk test, plain XLA** (:func:`chunk_cull`).
+1. **Cull phase — per-ray slab tests, plain XLA** (:func:`chunk_cull`).
    Triangles are stored in BVH DFS-preorder (``accel/bvh.py``), so every
-   aligned 128-triangle CHUNK of the array is a spatially compact set; at
-   pack time each chunk gets an AABB.  For each tile of Morton-sorted rays,
-   conservative origin/direction interval bounds define a reach box, and
-   ONE vectorized ``[n_tiles, n_chunks]`` broadcast marks surviving chunks
-   — no tree walk, no gathers, no ``while_loop``; the hierarchy is
-   flattened into a single brute-forceable level, which is exactly what
-   the VPU wants (round 2's vectorized skip-link walk spent 23-36 ms in
-   gather-bound lock-step iteration; this is sub-ms).  Each surviving
-   chunk also gets a conservative ENTRY DISTANCE (origin-box to chunk-box
-   Euclidean distance — a lower bound on any hit ``t`` since ray
-   directions are unit length), and the per-tile chunk list is sorted
-   front-to-back by it: the TPU analog of the reference's ordered
-   traversal, its 66 -> 104 fps trick (``shaders/hitRay.wgsl:80-91``).
+   aligned 128-triangle CHUNK of the array is spatially compact; at pack
+   time each chunk gets an AABB.  Every ray runs the standard slab test
+   (``shaders/common.wgsl:245-256``) against every chunk AABB — a dense
+   ``[rays, chunks]`` broadcast with no gathers and no tree walk; the
+   hierarchy is flattened into one brute-forceable level, which is what
+   the VPU is fast at (~25 ops/pair; ~1 ms for 262k rays x 640 chunks).
+   Rays are sorted by a *balanced* 6-D Morton key (origin and direction
+   bits interleaved evenly — direction-major sorting leaves bounce
+   wavefronts with origin spread that destroys tile coherence; measured
+   on an 82k-tri scene the balanced key cuts bounce tile-unions from
+   ~499/640 chunks to ~117, and per-ray slab precision cuts coherent
+   tiles from ~180 to ~4).  Per tile of ``TILE`` sorted rays the per-ray
+   hits OR-reduce into the tile's chunk set, front-to-back ordered by the
+   minimum slab entry distance — the TPU analog of the reference's
+   ordered traversal, its 66 -> 104 fps trick (``hitRay.wgsl:80-91``).
 
-2. **Sweep phase — K chunks per grid step, MXU matmuls, Pallas**
+2. **Sweep phase — compacted work queue, Pallas**
    (:func:`tile_closest_hit`).  The ray-triangle test is reformulated so
    the per-(ray, triangle) interaction is ONE inner product: a ray is
    ``[d, o×d]`` / ``[o, 1]`` 8-vectors and a triangle contributes three
    Plücker edge columns (``s_e = d·(p×q) + (o×d)·(q−p)`` is the signed
    edge volume, and ``s0+s1+s2 = n·d`` is the Möller-Trumbore determinant
    for free) plus a ``[−n, n·a]`` column for the unnormalized hit
-   parameter.  Four matmuls per step replace ~45 VPU flops per pair with
-   MXU work; the VPU epilogue (barycentric guards of
-   ``shaders/common.wgsl:205-228``, closest-hit select) is ~15 ops/pair.
-   One grid step sweeps ``CHUNKS_PER_STEP`` chunks for one tile (round 2
-   swept ONE chunk per step; at ~5 µs fixed cost per Mosaic grid step the
-   step count, not the math, dominated its 516 ms/call).  Passes iterate
-   under an XLA ``while_loop`` with per-tile termination: after each pass
-   a tile's remaining front-to-back chunks are counted against its rays'
-   max ``t_best`` — a chunk whose entry distance exceeds every ray's
-   current best hit can never win, so fully-resolved tiles stop
-   contributing passes (they sweep the all-zero dummy chunk, which
-   self-rejects, until the global loop ends).
+   parameter.  Each grid step sweeps up to SUBS_PER_STEP predicated
+   sub-blocks of CHUNKS_PER_STEP chunks for one tile (measured sweet
+   spot ≈ 25-30 Gpair/s at f32-HIGHEST; bigger blocks thrash VMEM,
+   smaller ones drown in the ~5-10 us fixed per-step cost).  Work is
+   COMPACTED: each round builds a queue of (tile, chunk-group) steps over
+   only the tiles that still have competitive chunks — a scalar-prefetched
+   tile-id array routes each step's ray/output blocks (steps for a tile
+   are consecutive, so its output block stays resident in VMEM across its
+   groups) — so no step ever sweeps a finished tile (round 2 ran a
+   while_loop to the WORST tile's pass count with every finished tile
+   re-sweeping dummy chunks at full step cost).  After each round a
+   tile's remaining front-to-back chunks are re-counted against its rays'
+   max running ``t_best``: a chunk whose conservative entry distance
+   exceeds every ray's best can never win.
 
-Correctness does not depend on the culling quality: the cull must only be
-conservative (never drop a chunk containing a reachable closer hit), which
-the reach-box overlap + entry-distance lower bound guarantee.  Incoherent
-tiles degrade toward sweeping every chunk front-to-back — still correct,
-just more passes.
+Correctness does not depend on the culling quality: the slab test is
+exact per (ray, chunk-AABB), entry distances are true lower bounds on hit
+``t`` (unit directions), and dummy-padded steps sweep the all-zero chunk
+whose columns self-reject.
 
 History: round 1 ran a cull *inside* the kernel with scalar control flow
 and a sliding node-window DMA into SMEM; that faults the real TPU
 (VERDICT.md round 1).  Hardware probes (``tools/trav_probe2.py``,
 ``tools/trav_bisect2.py``) isolated the faulting primitives: HBM→SMEM
 whole-ref DMA crashes the worker, and fori_loops with SMEM-read trip
-counts / DMA indices livelock it, while BlockSpec-pipelined VMEM inputs
-and static control flow run clean.  This design uses only the clean set.
+counts / DMA indices livelock it, while BlockSpec-pipelined VMEM inputs,
+scalar-prefetch index maps, and static control flow run clean.
 """
 
 from __future__ import annotations
@@ -70,11 +72,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core.types import FlatBVH, Triangles
 
-TILE_ROWS = 4          # rays per tile = TILE_ROWS * 128
+TILE_ROWS = 1          # rays per tile = TILE_ROWS * 128
 LANES = 128
 TILE = TILE_ROWS * LANES
 TRI_CHUNK = 128        # triangles per chunk (cull granularity)
-CHUNKS_PER_STEP = 8    # chunks folded into one Pallas grid step
+CHUNKS_PER_STEP = 8    # chunks per sweep sub-block (queue granularity)
+SUBS_PER_STEP = 4      # predicated sub-blocks per Pallas grid step
+CULL_BLOCK = 64        # tiles per cull-scan iteration (bounds memory)
 
 _F32 = jnp.float32
 RAY_K = 8              # matmul contraction dim: [d, o×d] / [o, 1, 0…]
@@ -82,38 +86,31 @@ _INF = np.float32(3e38)
 _BIG = np.float32(1e30)
 
 
-def _morton_key(origin, direction, box_lo, box_hi):
-    """Coherence sort key: direction-major Morton code.
+def _morton_key6d(origin, direction, box_lo, box_hi):
+    """Balanced 6-D Morton key: origin AND direction bits interleaved.
 
-    Rays arrive in framebuffer order, where a tile is an image strip whose
-    frustum spans the whole scene — culling is useless.  Sorting by
-    interleaved quantized direction (5 bits/axis, major) then origin within
-    the root box (5 bits/axis, minor) groups each tile into a narrow cone
-    from a compact origin cell, for primary AND bounce wavefronts alike;
-    results are scattered back through the inverse permutation.  (The
-    wavefront analog of the reference's implicit screen-tile coherence.)
+    5 bits per axis, most-significant bits first, cycling through
+    (dx, dy, dz, ox, oy, oz) — so a run of sorted rays is compact in BOTH
+    origin and direction, which is what tile-level culling needs for
+    bounce wavefronts (primary rays share an origin, so their origin bits
+    are constant and the key degenerates to a direction sort).
     """
     def q5(x, lo, hi):
         t = (x - lo) / jnp.maximum(hi - lo, 1e-30)
         return jnp.clip(t * 31.0, 0.0, 31.0).astype(jnp.uint32)
 
-    def spread3(v):
-        v = (v | (v << np.uint32(8))) & np.uint32(0x0100F)
-        v = (v | (v << np.uint32(4))) & np.uint32(0x10C3)
-        v = (v | (v << np.uint32(2))) & np.uint32(0x1249)
-        return v
-
-    def morton15(x, y, z):
-        return ((spread3(x) << np.uint32(2)) | (spread3(y) << np.uint32(1))
-                | spread3(z))
-
-    dm = morton15(q5(direction[:, 0], -1.0, 1.0),
-                  q5(direction[:, 1], -1.0, 1.0),
-                  q5(direction[:, 2], -1.0, 1.0))
-    om = morton15(q5(origin[:, 0], box_lo[0], box_hi[0]),
-                  q5(origin[:, 1], box_lo[1], box_hi[1]),
-                  q5(origin[:, 2], box_lo[2], box_hi[2]))
-    return ((dm << np.uint32(15)) | om).astype(jnp.int32)
+    qs = [q5(direction[:, 0], -1.0, 1.0),
+          q5(direction[:, 1], -1.0, 1.0),
+          q5(direction[:, 2], -1.0, 1.0),
+          q5(origin[:, 0], box_lo[0], box_hi[0]),
+          q5(origin[:, 1], box_lo[1], box_hi[1]),
+          q5(origin[:, 2], box_lo[2], box_hi[2])]
+    key = jnp.zeros_like(qs[0])
+    for bit in range(4, -1, -1):
+        for q in qs:
+            key = (key << np.uint32(1)) | ((q >> np.uint32(bit))
+                                           & np.uint32(1))
+    return key.astype(jnp.int32)
 
 
 def pack_tris(tris: Triangles):
@@ -168,63 +165,89 @@ def pack_tris(tris: Triangles):
 
 
 def chunk_cull(origin, direction, t_best0, cmin, cmax):
-    """Front-to-back per-tile chunk lists via one dense broadcast.
+    """Front-to-back per-tile chunk lists from exact per-ray slab tests.
 
     Args:
       origin, direction: ``[n_pad, 3]`` Morton-sorted rays, ``n_pad`` a
         multiple of TILE (padded lanes repeat a real ray).
-      t_best0: ``[n_pad]`` running closest-hit bound.
+      t_best0: ``[n_pad]`` running per-ray closest-hit bound.
       cmin/cmax: ``[C, 3]`` chunk AABBs from :func:`pack_tris`.
 
     Returns ``(order [n_tiles, Cp] i32, entry [n_tiles, Cp] f32, count
     [n_tiles] i32)`` where ``Cp`` is ``C`` padded to a CHUNKS_PER_STEP
     multiple, ``order`` lists surviving chunk ids front-to-back (dummy id
     ``C`` past ``count``), and ``entry`` is the sorted conservative entry
-    distance (``_INF`` past ``count``) used for pass termination.
+    distance (``_INF`` past ``count``) used for round termination.
     """
-    n_tiles = origin.shape[0] // TILE
+    n_pad = origin.shape[0]
+    n_tiles = n_pad // TILE
     n_chunks = cmin.shape[0]
 
-    o = origin.reshape(n_tiles, TILE, 3)
-    d = direction.reshape(n_tiles, TILE, 3)
-    tb = t_best0.reshape(n_tiles, TILE)
-
-    olo = jnp.min(o, axis=1)
-    ohi = jnp.max(o, axis=1)
-    dlo = jnp.min(d, axis=1)
-    dhi = jnp.max(d, axis=1)
-
     # Parametric reach cap: the farthest any ray must travel to exit the
-    # union of the origin box and the scene box (directions are unit
-    # length, so the union-box diameter bounds any in-box hit parameter).
-    root_lo = jnp.min(cmin, axis=0)[None]
-    root_hi = jnp.max(cmax, axis=0)[None]
-    u_lo = jnp.minimum(root_lo, olo)
-    u_hi = jnp.maximum(root_hi, ohi)
-    diam = jnp.sqrt(jnp.sum((u_hi - u_lo) ** 2, axis=1)) * np.float32(1.001)
-    t_cap = jnp.minimum(diam, jnp.max(tb, axis=1))  # [n_tiles]
+    # union of its origin and the scene box (unit directions, so the
+    # union diameter bounds any in-scene hit parameter).
+    root_lo = jnp.min(cmin, axis=0)
+    root_hi = jnp.max(cmax, axis=0)
+    u_lo = jnp.minimum(root_lo, jnp.min(origin, axis=0))
+    u_hi = jnp.maximum(root_hi, jnp.max(origin, axis=0))
+    diam = jnp.sqrt(jnp.sum((u_hi - u_lo) ** 2)) * np.float32(1.001)
+    t_cap = jnp.minimum(t_best0, diam)              # [n_pad]
 
-    reach_lo = olo + t_cap[:, None] * jnp.minimum(dlo, 0.0)
-    reach_hi = ohi + t_cap[:, None] * jnp.maximum(dhi, 0.0)
+    sd = jnp.where(direction >= 0.0, 1.0, -1.0)
+    inv = sd / jnp.maximum(jnp.abs(direction), 1e-12)
 
-    overlap = jnp.all((cmax[None] >= reach_lo[:, None])
-                      & (cmin[None] <= reach_hi[:, None]), axis=2)
-    # Entry distance: origin-box to chunk-box gap, a lower bound on any
-    # hit t for unit-length directions.
-    gap = jnp.maximum(jnp.maximum(cmin[None] - ohi[:, None],
-                                  olo[:, None] - cmax[None]), 0.0)
-    entry = jnp.sqrt(jnp.sum(gap * gap, axis=2))          # [n_tiles, C]
-    entry = jnp.where(overlap & (entry <= t_cap[:, None]), entry, _INF)
+    n_blocks = -(-n_tiles // CULL_BLOCK)
+    o_b = origin.reshape(n_blocks, CULL_BLOCK * TILE, 3)
+    i_b = inv.reshape(n_blocks, CULL_BLOCK * TILE, 3)
+    tc_b = t_cap.reshape(n_blocks, CULL_BLOCK * TILE)
 
-    order = jnp.argsort(entry, axis=1).astype(jnp.int32)
-    entry_sorted = jnp.take_along_axis(entry, order, axis=1)
-    valid = entry_sorted < _INF
-    order = jnp.where(valid, order, np.int32(n_chunks))
+    def block(carry, inp):
+        o, iv, tc = inp                             # [BT, 3], [BT], …
+        # SoA slab test: per-axis broadcasts keep the minor dim = chunks
+        # (a [.., C, 3] layout would pad the 3-axis to a full 128 lane).
+        # f32 on purpose — a bf16 variant needs a conservative box margin
+        # comparable to the chunk extent, and the resulting union growth
+        # (measured 3x) costs the sweep far more than bf16 saves here.
+        tlo = jnp.full((o.shape[0], n_chunks), -_INF)
+        thi = jnp.full((o.shape[0], n_chunks), _INF)
+        for ax in range(3):
+            t0 = (cmin[None, :, ax] - o[:, ax:ax + 1]) * iv[:, ax:ax + 1]
+            t1 = (cmax[None, :, ax] - o[:, ax:ax + 1]) * iv[:, ax:ax + 1]
+            tlo = jnp.maximum(tlo, jnp.minimum(t0, t1))
+            thi = jnp.minimum(thi, jnp.maximum(t0, t1))
+        ent = jnp.maximum(tlo, 0.0)
+        hit = (thi >= ent) & (tlo <= tc[:, None])   # [BT, C]
+        ent = jnp.where(hit, ent, _INF)
+        ent = jnp.min(ent.reshape(CULL_BLOCK, TILE, n_chunks), axis=1)
+        return carry, ent                           # [CULL_BLOCK, C]
+
+    _, entry = jax.lax.scan(block, None, (o_b, i_b, tc_b))
+    entry = entry.reshape(n_tiles, n_chunks)
+
+    # Front-to-back order WITHOUT an argsort: quantize the entry distance
+    # into the high bits of one i32 key, chunk id in the low bits, and
+    # value-sort rows — half the data (and comparator work) of sorting
+    # (key, index) pairs.  Quantization rounds DOWN, so the recovered
+    # entry stays a lower bound (termination keeps at most a few extra
+    # chunks competitive; correctness is unaffected).
+    id_bits = max(int(n_chunks).bit_length(), 1)
+    eb = 30 - id_bits
+    q_max = np.int32((1 << eb) - 1)
+    scale = (np.float32(q_max - 1) / np.float32(1.001)
+             / jnp.maximum(diam, 1e-20))
+    qe = jnp.clip((entry * scale).astype(jnp.int32), 0, q_max - 1)
+    qe = jnp.where(entry < _BIG, qe, q_max)  # real entries are <= diam
+    key = (qe << id_bits) | jnp.arange(n_chunks, dtype=jnp.int32)[None]
+    key = jnp.sort(key, axis=1)
+    qe_s = key >> id_bits
+    valid = qe_s < q_max
+    order = jnp.where(valid, key & np.int32((1 << id_bits) - 1),
+                      np.int32(n_chunks))
+    entry_sorted = jnp.where(valid, qe_s.astype(_F32) / scale, _INF)
     count = jnp.sum(valid, axis=1).astype(jnp.int32)
 
-    # Pad the list width to a CHUNKS_PER_STEP multiple so every pass
-    # window is in-bounds and disjoint (no clamped re-sweeps).
-    pad = -(-n_chunks // CHUNKS_PER_STEP) * CHUNKS_PER_STEP - n_chunks
+    step_c = CHUNKS_PER_STEP * SUBS_PER_STEP
+    pad = -(-n_chunks // step_c) * step_c - n_chunks
     if pad:
         order = jnp.pad(order, ((0, 0), (0, pad)),
                         constant_values=n_chunks)
@@ -235,82 +258,121 @@ def chunk_cull(origin, direction, t_best0, cmin, cmax):
 
 def _sweep_kernel(t_min: float):
     t_min = np.float32(t_min)
+    kc = CHUNKS_PER_STEP * TRI_CHUNK
 
-    def kernel(dm_ref, o1_ref, tb_ref, ib_ref, e0_ref, e1_ref, e2_ref,
-               tc_ref, gid_ref, t_out, idx_out):
-        t_best = tb_ref[:]                       # [TILE, 1]
-        idx_best = ib_ref[:]
+    def kernel(tos_ref, isf_ref, vg_ref, dm_ref, o1_ref, tb_ref, ib_ref,
+               e0_ref, e1_ref, e2_ref, tc_ref, gid_ref, t_out, idx_out):
+        s = pl.program_id(0)
 
-        # HIGHEST: geometry needs f32-grade products — the TPU default
-        # multiplies f32 matmul inputs in plain bf16, which flips edge/hit
-        # tests (Mosaic supports only DEFAULT and HIGHEST).
-        def mm(eref):
-            return jax.lax.dot_general(
-                dm_ref[:], eref[0], (((1,), (0,)), ((), ())),
-                preferred_element_type=_F32,
-                precision=jax.lax.Precision.HIGHEST)  # [TILE, K*TC]
+        # First step for this tile this round: seed the (revisited) output
+        # block from the carried best.  Later groups of the same tile are
+        # consecutive steps, so the block stays resident in VMEM.
+        @pl.when(isf_ref[s] == 1)
+        def _():
+            t_out[:] = tb_ref[:]
+            idx_out[:] = ib_ref[:]
 
-        s0, s1, s2 = mm(e0_ref), mm(e1_ref), mm(e2_ref)
-        tn = jax.lax.dot_general(
-            o1_ref[:], tc_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=_F32,
-            precision=jax.lax.Precision.HIGHEST)
-        den = s0 + s1 + s2                       # = n·d (MT determinant)
-        inv = jnp.reciprocal(den)
-        tt = tn * inv
-        # Guard order mirrors common.wgsl:205-228 including its odd t_min
-        # barycentric guards (u,v,w >= t_min); all-zero padding columns
-        # give den == 0 and are rejected by the first clause.
-        ok = ((jnp.abs(den) >= t_min) & (tt >= t_min) & (tt < t_best)
-              & (s0 * inv >= t_min) & (s1 * inv >= t_min)
-              & (s2 * inv >= t_min))
-        tm = jnp.where(ok, tt, _INF)
-        t_chunk = jnp.min(tm, axis=1, keepdims=True)      # [TILE, 1]
-        isel = jnp.min(jnp.where(tm == t_chunk, gid_ref[0], _INF),
-                       axis=1, keepdims=True)
-        upd = t_chunk < t_best
-        t_out[:] = jnp.where(upd, t_chunk, t_best)
-        idx_out[:] = jnp.where(upd, isel, idx_best)
+        # SUBS_PER_STEP predicated sub-blocks amortize the fixed per-step
+        # cost over up to 4x the work for heavy tiles, while light tiles
+        # skip the MXU work of their empty sub-blocks (vg = valid count).
+        # (A single fused 16-row matmul per sub-block was tried and is
+        # SLOWER: doubled table DMA + the XLA-side role packing cost more
+        # than the three extra MXU launches.)
+        for j in range(SUBS_PER_STEP):
+            @pl.when(j < vg_ref[s])
+            def _(j=j):
+                sl = slice(j * kc, (j + 1) * kc)
+                t_best = t_out[:]                # [TILE, 1]
+                idx_best = idx_out[:]
+
+                # HIGHEST: geometry needs f32-grade products — the TPU
+                # default multiplies f32 matmul inputs in plain bf16,
+                # which flips edge/hit tests (Mosaic supports only
+                # DEFAULT and HIGHEST).
+                def mm(eref):
+                    return jax.lax.dot_general(
+                        dm_ref[:], eref[0][:, sl],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=_F32,
+                        precision=jax.lax.Precision.HIGHEST)
+
+                s0, s1, s2 = mm(e0_ref), mm(e1_ref), mm(e2_ref)
+                tn = jax.lax.dot_general(
+                    o1_ref[:], tc_ref[0][:, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=_F32,
+                    precision=jax.lax.Precision.HIGHEST)
+                den = s0 + s1 + s2               # = n·d (MT determinant)
+                inv = jnp.reciprocal(den)
+                tt = tn * inv
+                # Guard order mirrors common.wgsl:205-228 including its
+                # odd t_min barycentric guards (u,v,w >= t_min); all-zero
+                # padding columns give den == 0 and are rejected by the
+                # first clause.
+                ok = ((jnp.abs(den) >= t_min) & (tt >= t_min)
+                      & (tt < t_best)
+                      & (s0 * inv >= t_min) & (s1 * inv >= t_min)
+                      & (s2 * inv >= t_min))
+                tm = jnp.where(ok, tt, _INF)
+                t_chunk = jnp.min(tm, axis=1, keepdims=True)  # [TILE, 1]
+                isel = jnp.min(
+                    jnp.where(tm == t_chunk, gid_ref[0][0:1, sl], _INF),
+                    axis=1, keepdims=True)
+                upd = t_chunk < t_best
+                t_out[:] = jnp.where(upd, t_chunk, t_best)
+                idx_out[:] = jnp.where(upd, isel, idx_best)
 
     return kernel
 
 
-def _sweep_pass(ray_dm, ray_o1, t_best, idx_best, window, e0, e1, e2, tcol,
-                t_min: float, interpret: bool):
-    """One Pallas pass: each tile sweeps its next CHUNKS_PER_STEP chunks."""
+def _sweep_round(ray_dm, ray_o1, t_best, idx_best, tos, isf, vg, ids,
+                 e0, e1, e2, tcol, t_min: float, interpret: bool):
+    """One compacted round: ``B`` steps routed to tiles by scalar prefetch.
+
+    ``tos [B]``: tile id per step; ``isf [B]``: 1 on a tile's first step
+    this round; ``vg [B]``: valid sub-blocks (1..SUBS_PER_STEP) per step;
+    ``ids [B, SUBS*K]``: chunk ids per step (dummy = C).
+    """
     n_pad = ray_dm.shape[0]
-    n_tiles, k = window.shape
-    kc = k * TRI_CHUNK
-    flat = window.reshape(-1)
+    b_steps, kd = ids.shape
+    kdc = kd * TRI_CHUNK
+    flat = ids.reshape(-1)
 
     def gat(tbl):
-        g = tbl[flat]                            # [n_tiles*K, 8, TC]
-        return g.reshape(n_tiles, k, RAY_K, TRI_CHUNK).transpose(
-            0, 2, 1, 3).reshape(n_tiles, RAY_K, kc)
+        g = tbl[flat]                            # [B*KD, 8, TC]
+        return g.reshape(b_steps, kd, RAY_K, TRI_CHUNK).transpose(
+            0, 2, 1, 3).reshape(b_steps, RAY_K, kdc)
 
     e0g, e1g, e2g, tcg = gat(e0), gat(e1), gat(e2), gat(tcol)
     lane = jnp.arange(TRI_CHUNK, dtype=jnp.int32)[None]
     gid = (flat[:, None] * TRI_CHUNK + lane).astype(_F32)
-    gid = gid.reshape(n_tiles, 1, kc)
+    gid = gid.reshape(b_steps, 1, kdc)
 
-    ray_spec = pl.BlockSpec((TILE, RAY_K), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((TILE, 1), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    e_spec = pl.BlockSpec((1, RAY_K, kc), lambda i: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
-    gid_spec = pl.BlockSpec((1, 1, kc), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
+    def by_tile(kind):
+        return pl.BlockSpec(kind, lambda s, tos_ref, isf_ref, vg_ref:
+                            (tos_ref[s], 0), memory_space=pltpu.VMEM)
+
+    def by_step(kind):
+        return pl.BlockSpec(kind, lambda s, tos_ref, isf_ref, vg_ref:
+                            (s, 0, 0), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b_steps,),
+        in_specs=[by_tile((TILE, RAY_K)), by_tile((TILE, RAY_K)),
+                  by_tile((TILE, 1)), by_tile((TILE, 1)),
+                  by_step((1, RAY_K, kdc)), by_step((1, RAY_K, kdc)),
+                  by_step((1, RAY_K, kdc)), by_step((1, RAY_K, kdc)),
+                  by_step((1, 1, kdc))],
+        out_specs=(by_tile((TILE, 1)), by_tile((TILE, 1))),
+    )
     out_shape = jax.ShapeDtypeStruct((n_pad, 1), _F32)
     return pl.pallas_call(
         _sweep_kernel(t_min),
-        grid=(n_tiles,),
-        in_specs=[ray_spec, ray_spec, col_spec, col_spec,
-                  e_spec, e_spec, e_spec, e_spec, gid_spec],
-        out_specs=(col_spec, col_spec),
+        grid_spec=grid_spec,
         out_shape=(out_shape, out_shape),
         interpret=interpret,
-    )(ray_dm, ray_o1, t_best, idx_best, e0g, e1g, e2g, tcg, gid)
+    )(tos, isf, vg, ray_dm, ray_o1, t_best, idx_best,
+      e0g, e1g, e2g, tcg, gid)
 
 
 @functools.partial(jax.jit,
@@ -318,13 +380,13 @@ def _sweep_pass(ray_dm, ray_o1, t_best, idx_best, window, e0, e1, e2, tcol,
 def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
                      t_best0, t_min: float, n_tris: int,
                      interpret: bool = False):
-    """Closest triangle hit per ray: dense chunk cull + Pallas matmul sweep.
+    """Closest triangle hit per ray: per-ray chunk cull + compacted sweep.
 
     Args:
       origin, direction: ``[N, 3]`` rays (``N`` padded internally).
       bvh: flattened BVH — used only for the Morton-sort scene box (the
-        chunk AABBs carry the culling; triangle ORDER being BVH preorder is
-        what makes chunks spatially compact).
+        chunk AABBs carry the culling; triangle ORDER being BVH preorder
+        is what makes chunks spatially compact).
       tris_packed: tables from :func:`pack_tris`.
       t_best0: ``[N]`` running closest-hit bound (prunes like the
         reference's ``closest_so_far``, ``hitRay.wgsl:54``).
@@ -334,12 +396,12 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
     e0, e1, e2, tcol, cmin, cmax = tris_packed
     n_chunks = int(cmin.shape[0])
     n = origin.shape[0]
-    n_pad = -(-n // TILE) * TILE
+    n_pad = -(-n // (TILE * CULL_BLOCK)) * (TILE * CULL_BLOCK)
 
-    # Coherence sort (see _morton_key), then pad by *repeating the last
+    # Coherence sort (see _morton_key6d), then pad by *repeating the last
     # ray* so tile bounds stay tight and padded lanes follow a real ray's
     # path (their hits are discarded).
-    key = _morton_key(origin, direction, bvh.mins[0], bvh.maxs[0])
+    key = _morton_key6d(origin, direction, bvh.mins[0], bvh.maxs[0])
     perm = jnp.argsort(key)
     o_s = origin[perm]
     d_s = direction[perm]
@@ -352,6 +414,7 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
     order, entry_sorted, count = chunk_cull(o_pad, d_pad, tb_pad,
                                             cmin, cmax)
     n_tiles = n_pad // TILE
+    b_steps = n_tiles        # round budget: one coherent frame = 1 round
 
     ray_dm = jnp.concatenate(
         [d_pad, jnp.cross(o_pad, d_pad), jnp.zeros((n_pad, 2), _F32)],
@@ -361,29 +424,70 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
         axis=1)
 
     k = CHUNKS_PER_STEP
+    subs = SUBS_PER_STEP
+    step_c = k * subs                                 # chunks per step
+    svec = jnp.arange(b_steps, dtype=jnp.int32)
+    kvec = jnp.arange(step_c, dtype=jnp.int32)[None]
+    dummy = np.int32(n_chunks)
 
     def cond(state):
-        p, _, _, remaining = state
-        return jnp.any(p * k < remaining)
+        _, _, pos, limit = state
+        return jnp.any(pos < limit)
 
     def body(state):
-        p, t_best, idx_best, _ = state
-        window = jax.lax.dynamic_slice(order, (0, p * k), (n_tiles, k))
-        t_new, i_new = _sweep_pass(ray_dm, ray_o1, t_best, idx_best,
-                                   window, e0, e1, e2, tcol, t_min,
-                                   interpret)
-        # Per-tile termination: a chunk whose conservative entry distance
-        # exceeds every ray's running best can never win — count the
-        # still-competitive front-to-back prefix per tile.
+        t_best, idx_best, pos, limit = state
+        need = jnp.maximum(limit - pos, 0)
+        steps_t = -(-need // step_c)                  # [n_tiles]
+        cum = jnp.cumsum(steps_t)
+        total = cum[-1]
+        served_end = jnp.minimum(total, b_steps)
+
+        # Step -> tile routing (compacted queue, sorted by tile).
+        tos = jnp.searchsorted(cum, svec, side="right").astype(jnp.int32)
+        real = svec < served_end
+        tos_last = tos[jnp.maximum(served_end - 1, 0)]
+        tos = jnp.where(real, jnp.minimum(tos, n_tiles - 1), tos_last)
+        cum_before = jnp.where(tos > 0, cum[jnp.maximum(tos - 1, 0)], 0)
+        local = svec - cum_before                     # step within tile
+        start = pos[tos] + local * step_c
+        idxs = jnp.minimum(start[:, None] + kvec, order.shape[1] - 1)
+        ids = order[tos[:, None], idxs]               # [B, SUBS*K]
+        chunk_pos = local[:, None] * step_c + kvec    # within-need offset
+        over = chunk_pos >= need[tos][:, None]
+        ids = jnp.where(real[:, None] & ~over, ids, dummy)
+        isf = (real & ((svec == 0) | (tos != jnp.roll(tos, 1)))
+               ).astype(jnp.int32)
+        # Valid sub-blocks per step: ceil(remaining-chunks-this-step / K).
+        rem = jnp.clip(need[tos] - local * step_c, 0, step_c)
+        vg = jnp.where(real, -(-rem // k), 0).astype(jnp.int32)
+
+        t_new, i_new = _sweep_round(ray_dm, ray_o1, t_best, idx_best,
+                                    tos, isf, vg, ids, e0, e1, e2, tcol,
+                                    t_min, interpret)
+        # Per-tile steps actually served this round (a tile queued past
+        # the round budget waits for the next round).
+        cum_prev = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]])
+        served = jnp.clip(jnp.minimum(cum, served_end) - cum_prev,
+                          0, steps_t)
+        # Unserved tiles' output blocks are never written — keep carry.
+        touched = jnp.broadcast_to((served > 0)[:, None], (n_tiles, TILE))
+        touched = touched.reshape(n_pad, 1)
+        t_new = jnp.where(touched, t_new, t_best)
+        i_new = jnp.where(touched, i_new, idx_best)
+        pos = pos + served * step_c
+
+        # Round termination: drop trailing front-to-back chunks whose
+        # entry distance exceeds every ray's current best in the tile.
         t_tile = jnp.max(t_new.reshape(n_tiles, TILE), axis=1)
-        remaining = jnp.sum(entry_sorted <= t_tile[:, None],
-                            axis=1).astype(jnp.int32)
-        return p + 1, t_new, i_new, jnp.minimum(remaining, count)
+        competitive = jnp.sum(entry_sorted <= t_tile[:, None],
+                              axis=1).astype(jnp.int32)
+        limit = jnp.minimum(count, competitive)
+        return t_new, i_new, pos, limit
 
     t0 = tb_pad[:, None]
     i0 = jnp.full((n_pad, 1), -1.0, _F32)
-    _, t, idx, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, i0, count))
+    pos0 = jnp.zeros((n_tiles,), jnp.int32)
+    t, idx, _, _ = jax.lax.while_loop(cond, body, (t0, i0, pos0, count))
     # Scatter back through the inverse permutation.
     t_out = jnp.zeros((n,), _F32).at[perm].set(t[:n, 0])
     i_out = jnp.zeros((n,), _F32).at[perm].set(idx[:n, 0])

@@ -85,8 +85,13 @@ def bvh_closest_hit(origin, direction, bvh: FlatBVH, tris: Triangles,
                          node)
         return node, t_best, idx_best
 
-    node0 = jnp.zeros((num_rays,), jnp.int32)
-    idx0 = jnp.full((num_rays,), -1, jnp.int32)
+    # Derive carry inits from a per-ray input so their varying-manual-axes
+    # type matches the loop outputs under shard_map (literal zeros are
+    # 'replicated' while the walked state is 'varying' — same construction
+    # as integrator.path_tracer.trace's varying zero).
+    vzero = (t_best0 * 0.0).astype(jnp.int32)
+    node0 = vzero
+    idx0 = vzero - 1
     _, t, idx = jax.lax.while_loop(cond, body, (node0, t_best0, idx0))
     return jnp.where(idx >= 0, t, intersect.INF), idx
 
