@@ -68,7 +68,10 @@ def _pixel_grid(width, height):
     return n, pix, px, py
 
 
-def bench_fwd_bwd(width=512, height=512, bounces=4, use_megakernel=False):
+def bench_fwd_bwd(width=512, height=512, bounces=4, use_megakernel=False,
+                  scene_builder=None, importance_sampling=True,
+                  groups=("emission", "bsdf"), eye=(0, 0, 3.2),
+                  window=(2, 10)):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -77,14 +80,17 @@ def bench_fwd_bwd(width=512, height=512, bounces=4, use_megakernel=False):
     from tpu_path_tracer.diff.params import apply_params, extract_params
     from tpu_path_tracer.integrator.render import path_trace_pixels
 
-    scene, meta, _ = tpt.builtin.cornell_box()
+    if scene_builder is None:
+        scene, meta, _ = tpt.builtin.cornell_box()
+    else:
+        scene, meta = scene_builder()
     cfg = tpt.RenderConfig(width=width, height=height, max_bounces=bounces,
-                           importance_sampling=True,
+                           importance_sampling=importance_sampling,
                            use_megakernel=use_megakernel)
-    cam = tpt.Camera(eye=[0, 0, 3.2], center=[0, 0, 0])
+    cam = tpt.Camera(eye=list(eye), center=[0, 0, 0])
     view = jnp.asarray(cam.view_matrix)
     n, pix, px, py = _pixel_grid(width, height)
-    params = extract_params(scene, groups=("emission", "bsdf"))
+    params = extract_params(scene, groups=groups)
     target = jnp.zeros((n, 3), jnp.float32)
 
     def loss_fn(params, scene, pix, px, py, view, target, frame_num):
@@ -111,7 +117,7 @@ def bench_fwd_bwd(width=512, height=512, bounces=4, use_megakernel=False):
 
     init = (params, jnp.int32(1))
     jax.tree.map(np.asarray, step(init))  # compile + warm
-    dt = _marginal(_chain_run(step, init), 2, 10)
+    dt = _marginal(_chain_run(step, init), *window)
     return {"mrays": n / dt / 1e6, "step_ms": dt * 1e3}
 
 
@@ -121,6 +127,61 @@ def bench_fwd_bwd_megakernel(width=512, height=512, bounces=4):
     ``cfg.use_megakernel`` — the framework's production differentiable
     path on analytic scenes."""
     return bench_fwd_bwd(width, height, bounces, use_megakernel=True)
+
+
+def bench_fwd_bwd_reference_scene(width=512, height=512, bounces=4):
+    """The flagship reference_scene (fog/glass spheres, Cornell-style room,
+    12-tri glass cube) trained differentiably through the megakernel
+    custom VJP — the single-dispatch path measured at its real job
+    (round-3 verdict, task 8).  NEE off to match the reference's default
+    shading mode (shaders/header.wgsl:12)."""
+    import tpu_path_tracer as tpt
+    from tpu_path_tracer.kernels.pallas.megakernel import vjp_supported
+
+    def build():
+        scene, meta, _ = tpt.builtin.reference_scene(include_mesh=True)
+        cfg = tpt.RenderConfig(width=width, height=height,
+                               max_bounces=bounces)
+        assert vjp_supported(scene, meta, cfg)
+        return scene, meta
+
+    return bench_fwd_bwd(width, height, bounces, use_megakernel=True,
+                         scene_builder=build, importance_sampling=False,
+                         eye=(0.5, 0.0, 2.5))
+
+
+def bench_fwd_bwd_mesh(width=512, height=512, bounces=4, subdivisions=6):
+    """The north-star metric on a MESH scene (BASELINE.json configs[1-4]
+    are all mesh workloads): fwd+bwd of an L2 image loss w.r.t. triangle
+    VERTEX positions + emitter radiance, through the wavefront integrator,
+    the Pallas tile traversal, and the on-device BVH refit
+    (diff/params.apply_params).  82k tris at the default subdivision."""
+    import time as _time
+    import tpu_path_tracer as tpt
+    from tpu_path_tracer.core.config import LAMBERTIAN, MIRROR
+    from tpu_path_tracer.scene import procedural
+    from tpu_path_tracer.scene.builder import SceneBuilder
+
+    def build():
+        b = SceneBuilder()
+        b.add_material("default", LAMBERTIAN, [1, 0, 0])
+        white = b.add_material("white", LAMBERTIAN, [0.73, 0.73, 0.73])
+        light = b.add_material("light", LAMBERTIAN, [0, 0, 0],
+                               emission=[2, 2, 2])
+        mirror = b.add_material("mirror", MIRROR, [0.9, 0.9, 0.9])
+        b.add_quad([-2, -2, -2], [4, 0, 0], [0, 4, 0], white)
+        b.add_quad([-2, 2, 2], [4, 0, 0], [0, 0, -4], light)
+        b.add_quad([-2, -2, 2], [4, 0, 0], [0, 0, -4], white)
+        mesh = procedural.icosphere(subdivisions=subdivisions, radius=0.8)
+        b.add_mesh(mesh, mirror)
+        scene, meta = b.build(bvh="median")
+        return scene, meta
+
+    res = bench_fwd_bwd(width, height, bounces, scene_builder=build,
+                        importance_sampling=True,
+                        groups=("emission", "vertices"), window=(1, 4))
+    res["tris"] = 20 * 4 ** subdivisions
+    return res
 
 
 def bench_fwd_wavefront(width=512, height=512, bounces=4):
@@ -295,13 +356,23 @@ def bench_scaling(width=256, height=256, bounces=4):
     return measure_scaling(width=width, height=height, bounces=bounces)
 
 
+def bench_mesh_bvh_327k():
+    """Dragon-scale row (round-3 verdict, task 3): 20*4^7 = 327,680 tris
+    (the reference's dragon is 297,972, ``benchmarks.txt:18-20``) at
+    512^2 — exercises the two-level cull's chunk scaling."""
+    return bench_mesh_bvh(subdivisions=7)
+
+
 WORKLOADS = {
     "fwd_bwd_megakernel": bench_fwd_bwd_megakernel,
     "fwd_bwd": bench_fwd_bwd,
+    "fwd_bwd_reference_scene": bench_fwd_bwd_reference_scene,
+    "fwd_bwd_mesh": bench_fwd_bwd_mesh,
     "fwd_wavefront": bench_fwd_wavefront,
     "fwd_pallas": bench_fwd_pallas,
     "fwd_reference_scene": bench_fwd_reference_scene,
     "mesh_bvh": bench_mesh_bvh,
+    "mesh_bvh_327k": bench_mesh_bvh_327k,
     "scaling": bench_scaling,
 }
 
@@ -379,11 +450,20 @@ def main():
             "fwd_bwd_megakernel_mrays": get("fwd_bwd_megakernel", "mrays"),
             "fwd_bwd_megakernel_ms": get("fwd_bwd_megakernel", "step_ms"),
             "fwd_bwd_wavefront_mrays": get("fwd_bwd", "mrays"),
+            "fwd_bwd_reference_scene_mrays": get(
+                "fwd_bwd_reference_scene", "mrays"),
+            "fwd_bwd_mesh_82k_tris_mrays": get("fwd_bwd_mesh", "mrays"),
+            "fwd_bwd_mesh_step_ms": get("fwd_bwd_mesh", "step_ms"),
             "fwd_wavefront_mrays": get("fwd_wavefront", "mrays"),
             "fwd_pallas_megakernel_mrays": get("fwd_pallas", "mrays"),
             "fwd_reference_scene_megakernel_mrays": get(
                 "fwd_reference_scene", "mrays"),
             "fwd_mesh_bvh_82k_tris_mrays": get("mesh_bvh", "mrays"),
+            "fwd_mesh_bvh_327k_tris_mrays": get("mesh_bvh_327k", "mrays"),
+            "mesh_327k_frame_ms": get("mesh_bvh_327k", "frame_ms"),
+            "mesh_327k_bvh_build_ms": get("mesh_bvh_327k", "bvh_build_ms"),
+            "mesh_327k_tris": (results.get("mesh_bvh_327k") or {}).get(
+                "tris"),
             "fwd_bwd_step_ms": get("fwd_bwd", "step_ms"),
             "fwd_wavefront_ms": get("fwd_wavefront", "step_ms"),
             "fwd_pallas_ms": get("fwd_pallas", "step_ms"),
@@ -393,6 +473,7 @@ def main():
             "mesh_upload_ms": get("mesh_bvh", "upload_ms"),
             "mesh_tris": (results["mesh_bvh"] or {}).get("tris"),
             "scaling_efficiency_8dev": get("scaling", "efficiency"),
+            "scaling_spread_pct": get("scaling", "spread_pct"),
             "errors": errors or None,
         },
     }), flush=True)

@@ -57,23 +57,60 @@ def test_megakernel_matches_wavefront_reference_scene(mesh):
     # Fog volumes + glass shells + mirror quad — all four BSDFs live;
     # with mesh=True the 12-triangle glass cube exercises the unrolled
     # Möller-Trumbore loop (the reference's single-dispatch scene shape).
+    # 8x8: forward interpret-mode cost scales with pixels; the structure
+    # (18 spheres, 8 quads, 12 tris) is what the parity contract covers.
     scene, meta, _ = tpt.builtin.reference_scene(include_mesh=mesh)
-    cfg = tpt.RenderConfig(width=16, height=8, max_bounces=4)
+    cfg = tpt.RenderConfig(width=8, height=8, max_bounces=4)
     ref, got = _run_both(scene, meta, cfg, eye=[0.5, 0.0, 2.5])
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
 def test_megakernel_vjp_triangle_vertex_grads():
     """Vertex-position gradients through the megakernel's unrolled
-    triangle loop match the wavefront's (small mesh, NEE off to keep the
-    interpret-mode backward fast)."""
-    scene, meta, _ = tpt.builtin.reference_scene(include_mesh=True)
-    cfg = tpt.RenderConfig(width=8, height=8, max_bounces=2)
+    triangle loop match the wavefront's.  Minimal scene — one emissive
+    quad, one glass sphere, a 4-triangle tent — because interpret-mode
+    in-kernel reverse AD scales with primitives x bounces x pixels
+    (round-3: 453 s on the full scene); full-scene hardware parity is
+    covered by test_tpu_smoke.py."""
+    from tpu_path_tracer.core.config import GLASS, LAMBERTIAN
+    from tpu_path_tracer.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    white = b.add_material("white", LAMBERTIAN, [0.7, 0.7, 0.7])
+    light = b.add_material("light", LAMBERTIAN, [0, 0, 0],
+                           emission=[3, 3, 3])
+    glass = b.add_material("glass", GLASS, [1, 1, 1], eta=1.5)
+    b.add_quad([-1, 1, -1], [2, 0, 0], [0, 0, 2], light)
+    b.add_sphere([0.5, -0.3, 0.2], 0.3, glass)
+    from tpu_path_tracer.scene.objreader import MeshData
+    tent = [[-0.6, -0.5, 0.0], [0.0, -0.5, -0.6], [0.0, 0.2, -0.2],
+            [0.6, -0.5, 0.0]]
+    tris_v = np.asarray([[tent[0], tent[1], tent[2]],
+                         [tent[1], tent[3], tent[2]],
+                         [tent[0], tent[2], tent[3]],
+                         [tent[0], tent[3], tent[1]]], np.float32)
+    verts = tris_v.reshape(-1, 3)
+    nrm = np.cross(tris_v[:, 1] - tris_v[:, 0], tris_v[:, 2] - tris_v[:, 0])
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    normals = np.repeat(nrm, 3, axis=0).astype(np.float32)
+    b.add_mesh(MeshData(vertices=verts, normals=normals), white)
+    scene, meta = b.build(bvh="none")
+    # NEE on with a high light-sample prob: without NEE this scene's
+    # radiance has NO continuous vertex dependence (flat emission,
+    # discrete hit events detached) and both integrators agree on an
+    # all-zero gradient; the NEE pdf chain (light_pdf/lambertian_pdf of
+    # the shading point and normal) is what makes vertex gradients real,
+    # and the tent lanes must actually REACH the light for their radiance
+    # (and hence d(rad^2)) to be nonzero at this tiny pixel count.
+    cfg = tpt.RenderConfig(width=8, height=8, max_bounces=2,
+                           importance_sampling=True,
+                           light_sample_prob=0.9)
     (lw, gw), (lm, gm) = _grad_both(
-        scene, meta, cfg, eye=[0.5, 0.0, 2.5],
+        scene, meta, cfg, eye=[0.0, 0.0, 2.5],
         groups=("emission", "vertices"))
     assert abs(lw - lm) <= 1e-6 * max(abs(lw), 1.0)
     _assert_grads_close(gw, gm)
+    assert np.max(np.abs(np.asarray(gw["tri_a"]))) > 0
 
 
 def test_megakernel_stratified_spp():
@@ -129,7 +166,10 @@ def test_megakernel_vjp_matches_wavefront_grads_nee():
     BSDF tables AND quad geometry (incl. the NEE light quad) on the
     Cornell box with importance sampling."""
     scene, meta, _ = tpt.builtin.cornell_box()
-    cfg = tpt.RenderConfig(width=16, height=8, max_bounces=3,
+    # 8x8 / 2 bounces: interpret-mode backward cost scales with
+    # pixels x bounces (round-3 verdict task 4); NEE + quad-geometry
+    # coverage is per-bounce, not per-depth.
+    cfg = tpt.RenderConfig(width=8, height=8, max_bounces=2,
                            importance_sampling=True)
     (lw, gw), (lm, gm) = _grad_both(
         scene, meta, cfg, eye=[0, 0, 3.2],
@@ -142,9 +182,13 @@ def test_megakernel_vjp_matches_wavefront_grads_nee():
 def test_megakernel_vjp_all_bsdfs():
     """Gradient parity on the reference's default scene family (fog
     volumes, glass shells, mirror) — all four BSDF families live in the
-    backward replay."""
-    scene, meta, _ = tpt.builtin.reference_scene(include_mesh=False)
-    cfg = tpt.RenderConfig(width=16, height=8, max_bounces=3)
+    backward replay.  Mini scene + 8x8 + 2 bounces: interpret-mode
+    reverse AD through the unrolled kernel scales with
+    spheres x bounces x pixels (round-3: 713 s at full size); hardware
+    parity at full depth lives in test_tpu_smoke.py."""
+    scene, meta, _ = tpt.builtin.reference_scene(include_mesh=False,
+                                                 mini=True)
+    cfg = tpt.RenderConfig(width=8, height=8, max_bounces=2)
     (lw, gw), (lm, gm) = _grad_both(
         scene, meta, cfg, eye=[0.5, 0.0, 2.5], groups=("emission", "bsdf"))
     assert abs(lw - lm) <= 1e-6 * max(abs(lw), 1.0)
@@ -237,3 +281,59 @@ def test_tile_traversal_matches_jnp_walk():
     np.testing.assert_allclose(np.asarray(t_got)[hit_ref],
                                np.asarray(t_ref)[hit_ref],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tile_traversal_two_level_cull_and_dead_lanes():
+    """Big-enough mesh to engage the two-level cull's sparse tiers
+    (>64 chunks, >=8 superchunks) plus retired lanes carrying the
+    negative t_best0 sentinel (kernels/hit.py) — they must come back as
+    misses without perturbing live lanes."""
+    from tpu_path_tracer.core.config import LAMBERTIAN
+    from tpu_path_tracer.kernels import traversal as jnp_trav
+    from tpu_path_tracer.kernels.pallas.traversal import (
+        pack_tris, tile_closest_hit)
+    from tpu_path_tracer.scene import procedural
+    from tpu_path_tracer.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    m = b.add_material("white", LAMBERTIAN, [0.7, 0.7, 0.7])
+    # subdiv 5 icosphere: 20,480 tris = 160 chunks = 20 superchunks.
+    b.add_mesh(procedural.icosphere(subdivisions=5, radius=0.8), m)
+    scene, meta = b.build(bvh="median")
+    tris, bvh = scene.triangles, scene.bvh
+
+    k = np.random.default_rng(5)
+    n = 1024
+    # Mixed bundle: coherent primaries, bounce-like scattered rays.
+    origin = np.tile(np.array([[0.0, 0.0, 3.0]], np.float32), (n, 1))
+    origin[n // 2:] = (k.normal(size=(n // 2, 3))
+                       / np.linalg.norm(k.normal(size=(n // 2, 3)),
+                                        axis=1, keepdims=True)
+                       * 0.81).astype(np.float32)
+    target = k.uniform(-1, 1, (n, 3)).astype(np.float32)
+    d = target - origin
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    origin = jnp.asarray(origin)
+    direction = jnp.asarray(d)
+    # Every 3rd lane retired: negative bound sentinel.
+    dead = (np.arange(n) % 3) == 0
+    t0 = jnp.where(jnp.asarray(dead), -3e38, 1e9).astype(jnp.float32)
+
+    t_ref, i_ref = jnp_trav.bvh_closest_hit(
+        origin, direction, bvh, tris, 1e-4, t0, meta.max_leaf)
+    t_got, i_got = tile_closest_hit(
+        origin, direction, bvh, pack_tris(tris), t0,
+        t_min=1e-4, n_tris=int(tris.count), interpret=True)
+
+    i_ref, i_got = np.asarray(i_ref), np.asarray(i_got)
+    assert np.all(i_got[dead] == -1)
+    live = ~dead
+    hit_ref = (i_ref >= 0) & live
+    np.testing.assert_array_equal((i_got >= 0)[live], (i_ref >= 0)[live])
+    # Looser than the coherent test: this bundle includes grazing hits
+    # where the Plücker-product form and Möller-Trumbore round differently
+    # in f32 (measured 1.5e-4 relative on one lane, same triangle id).
+    np.testing.assert_allclose(np.asarray(t_got)[hit_ref],
+                               np.asarray(t_ref)[hit_ref],
+                               rtol=1e-3, atol=1e-4)
+    assert hit_ref.sum() > 100  # the scene actually gets hit

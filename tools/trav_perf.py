@@ -10,7 +10,8 @@ import numpy as np
 
 from tpu_path_tracer.core.config import LAMBERTIAN
 from tpu_path_tracer.kernels.pallas.traversal import (
-    CHUNKS_PER_STEP, TILE, _morton_key6d, chunk_cull, pack_tris,
+    CHUNKS_PER_STEP, TILE, _morton_key6d, _superchunk_size, chunk_cull,
+    lead_superchunk, pack_tris, scene_diam, superchunk_boxes,
     tile_closest_hit)
 from tpu_path_tracer.scene import procedural
 from tpu_path_tracer.scene.builder import SceneBuilder
@@ -38,10 +39,13 @@ def timeit(make_step, iters=8):
 
 
 def main():
+    import sys
+    subdiv = int(sys.argv[sys.argv.index("--subdiv") + 1]) \
+        if "--subdiv" in sys.argv else 6
     print("devices:", jax.devices())
     b = SceneBuilder()
     m = b.add_material("w", LAMBERTIAN, [0.7, 0.7, 0.7])
-    b.add_mesh(procedural.icosphere(subdivisions=6, radius=0.8), m)
+    b.add_mesh(procedural.icosphere(subdivisions=subdiv, radius=0.8), m)
     scene, meta = b.build(bvh="median")
     tris, bvh = scene.triangles, scene.bvh
     print("tris", int(tris.count), "nodes", int(bvh.count))
@@ -75,9 +79,17 @@ def main():
     t0 = jnp.full((N,), 1e9, jnp.float32)
     nt = int(tris.count)
 
+    g = _superchunk_size(int(cmin.shape[0]))
+    smin, smax = superchunk_boxes(cmin, cmax, g)
+
     @jax.jit
     def cull(o, d, t):
-        key = _morton_key6d(o, d, bvh.mins[0], bvh.maxs[0])
+        # Mirror tile_closest_hit's sort: lead superchunk major key.
+        diam = scene_diam(o, cmin, cmax)
+        lead = lead_superchunk(o, d, jnp.minimum(t, diam), smin, smax)
+        morton = _morton_key6d(o, d, bvh.mins[0], bvh.maxs[0])
+        key = ((lead.astype(jnp.uint32) << jnp.uint32(24))
+               | (morton.astype(jnp.uint32) >> jnp.uint32(6)))
         p = jnp.argsort(key)
         return chunk_cull(o[p], d[p], t[p], cmin, cmax)
 

@@ -47,7 +47,8 @@ def trace(rand_state, ray: Ray, scene: SceneData, meta: SceneMeta,
     def bounce(carry, bounce_idx):
         rs, cur_ray, radiance, throughput, alive = carry
 
-        rs, ptype, pidx, vol_u = find_hit(rs, cur_ray, scene, meta, cfg)
+        rs, ptype, pidx, vol_u = find_hit(rs, cur_ray, scene, meta, cfg,
+                                          alive=alive)
         rec = shade_hit(cur_ray, ptype, pidx, vol_u, scene, cfg)
 
         # Miss: background * throughput, lane retires (traceRay.wgsl:12-16).

@@ -39,12 +39,20 @@ MISS, SPHERE, QUAD, TRIANGLE, VOLUME = -1, 0, 1, 2, 3
 
 
 def find_hit(rand_state, ray: Ray, scene: SceneData, meta: SceneMeta,
-             cfg: RenderConfig):
+             cfg: RenderConfig, alive=None):
     """Find the closest primitive per ray lane (non-differentiable).
 
     Returns ``(rand_state, prim_type [N] i32, prim_index [N] i32,
     vol_u [N] f32)`` where ``vol_u`` is the uniform variate that produced a
     volumetric scattering event (replayed by ``shade_hit``).
+
+    ``alive`` (optional ``[N]`` bool) marks lanes whose result is consumed;
+    dead lanes seed ``t_best = t_min`` so every ``t < t_best`` update fails
+    and — critically — the BVH traversal's per-ray chunk cull
+    (``kernels/pallas/traversal.py``) empties their candidate lists, so
+    retired lanes cost no sweep work.  The reference has no analogue (its
+    threads simply ``break``, ``traceRay.wgsl:14``); on TPU the lane keeps
+    executing, so the prune must ride the closest-hit bound instead.
     """
     ray = jax.lax.stop_gradient(ray)
     scene = jax.lax.stop_gradient(scene)
@@ -53,6 +61,13 @@ def find_hit(rand_state, ray: Ray, scene: SceneData, meta: SceneMeta,
     t_min = cfg.t_min
 
     t_best = jnp.full((n_rays,), cfg.t_max, jnp.float32)
+    if alive is not None:
+        # Negative sentinel, not t_min: a dead lane's stale origin can sit
+        # ON the mesh, where a t_min cap still keeps the containing chunks
+        # (slab entry 0 <= t_min).  No real chunk entry is < 0, so the
+        # negative bound empties the candidate list outright.
+        t_best = jnp.where(jax.lax.stop_gradient(alive), t_best,
+                           -intersect.INF)
     ptype = jnp.full((n_rays,), MISS, jnp.int32)
     pidx = jnp.zeros((n_rays,), jnp.int32)
 
