@@ -337,3 +337,52 @@ def test_tile_traversal_two_level_cull_and_dead_lanes():
                                np.asarray(t_ref)[hit_ref],
                                rtol=1e-3, atol=1e-4)
     assert hit_ref.sum() > 100  # the scene actually gets hit
+
+
+def test_pair_traversal_matches_jnp_walk():
+    """Ray-major pair sweep (pair_closest_hit) vs the jnp skip-link walk:
+    mixed coherent/bounce-like bundle + retired lanes, big enough mesh
+    for real superchunk candidates and multiple emission rounds."""
+    from tpu_path_tracer.core.config import LAMBERTIAN
+    from tpu_path_tracer.kernels import traversal as jnp_trav
+    from tpu_path_tracer.kernels.pallas.traversal import (
+        pack_tris, pair_closest_hit)
+    from tpu_path_tracer.scene import procedural
+    from tpu_path_tracer.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    m = b.add_material("white", LAMBERTIAN, [0.7, 0.7, 0.7])
+    b.add_mesh(procedural.icosphere(subdivisions=5, radius=0.8), m)
+    scene, meta = b.build(bvh="median")
+    tris, bvh = scene.triangles, scene.bvh
+
+    k = np.random.default_rng(7)
+    n = 2048
+    origin = np.tile(np.array([[0.0, 0.0, 3.0]], np.float32), (n, 1))
+    half = n // 2
+    sph = k.normal(size=(half, 3))
+    sph /= np.linalg.norm(sph, axis=1, keepdims=True)
+    origin[half:] = (sph * 0.81).astype(np.float32)
+    target = k.uniform(-1, 1, (n, 3)).astype(np.float32)
+    d = target - origin
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    origin = jnp.asarray(origin)
+    direction = jnp.asarray(d)
+    dead = (np.arange(n) % 5) == 0
+    t0 = jnp.where(jnp.asarray(dead), -3e38, 1e9).astype(jnp.float32)
+
+    t_ref, i_ref = jnp_trav.bvh_closest_hit(
+        origin, direction, bvh, tris, 1e-4, t0, meta.max_leaf)
+    t_got, i_got = pair_closest_hit(
+        origin, direction, bvh, pack_tris(tris), t0,
+        t_min=1e-4, n_tris=int(tris.count), interpret=True)
+
+    i_ref, i_got = np.asarray(i_ref), np.asarray(i_got)
+    live = ~dead
+    assert np.all(i_got[dead] == -1)
+    np.testing.assert_array_equal((i_got >= 0)[live], (i_ref >= 0)[live])
+    hit_ref = (i_ref >= 0) & live
+    np.testing.assert_allclose(np.asarray(t_got)[hit_ref],
+                               np.asarray(t_ref)[hit_ref],
+                               rtol=1e-3, atol=1e-4)
+    assert hit_ref.sum() > 300

@@ -12,7 +12,7 @@ from tpu_path_tracer.core.config import LAMBERTIAN
 from tpu_path_tracer.kernels.pallas.traversal import (
     CHUNKS_PER_STEP, TILE, _morton_key6d, _superchunk_size, chunk_cull,
     lead_superchunk, pack_tris, scene_diam, superchunk_boxes,
-    tile_closest_hit)
+    closest_hit, tile_closest_hit)
 from tpu_path_tracer.scene import procedural
 from tpu_path_tracer.scene.builder import SceneBuilder
 
@@ -100,15 +100,15 @@ def main():
             return jnp.float32(jnp.sum(count)) * 0e-30 + e * 0.5
 
         def full_step(e, oo=oo, dd_=dd_):
-            _, i = tile_closest_hit(oo + e, dd_, bvh, packed, t0,
-                                    t_min=1e-4, n_tris=nt)
+            _, i = closest_hit(oo + e, dd_, bvh, packed, t0,
+                               t_min=1e-4, n_tris=nt)
             return jnp.float32(jnp.sum(i)) * 0e-30 + e * 0.5
 
         dt_cull = timeit(cull_step)
         _, _, count = cull(oo, dd_, t0)
         work = int(np.asarray(jnp.sum(count)))
         dt = timeit(full_step)
-        hits = int((np.asarray(tile_closest_hit(
+        hits = int((np.asarray(closest_hit(
             oo, dd_, bvh, packed, t0, t_min=1e-4, n_tris=nt)[1]) >= 0).sum())
         print(f"{name}: cull {dt_cull*1e3:.2f} ms, total {dt*1e3:.2f} ms, "
               f"{N/dt/1e6:.1f} Mray/s, hits {hits}, "

@@ -101,15 +101,16 @@ def find_hit(rand_state, ray: Ray, scene: SceneData, meta: SceneMeta,
     if tris.count and meta.traversal != "none":
         if meta.traversal == "bvh" and scene.bvh is not None:
             if cfg.use_pallas and jax.default_backend() == "tpu":
-                # Tile-frustum cull (XLA) + Pallas span sweep: per-lane
-                # gathers are ~1 row/cycle on TPU, putting the jnp
-                # skip-link walk 3-4 orders of magnitude off
-                # speed-of-light; this path gathers only per-TILE and
-                # streams triangles through SMEM with zero per-ray gathers
-                # (kernels/pallas/traversal.py).  Packing is a reshape of
-                # the triangle table — trivial next to one traversal.
-                from .pallas.traversal import pack_tris, tile_closest_hit
-                t_t, i_t = tile_closest_hit(
+                # Two-level cull (XLA) + Pallas sweep: per-lane gathers
+                # are ~1 row/cycle on TPU, putting the jnp skip-link walk
+                # 3-4 orders of magnitude off speed-of-light; this path
+                # prunes with dense slab math and intersects with MXU
+                # matmuls (kernels/pallas/traversal.py) — ray-major pair
+                # binning for VMEM-resident meshes, tile-major gather
+                # sweep beyond.  Packing is a reshape of the triangle
+                # table — trivial next to one traversal.
+                from .pallas.traversal import closest_hit, pack_tris
+                t_t, i_t = closest_hit(
                     o, d, scene.bvh, pack_tris(tris), t_best,
                     t_min=t_min, n_tris=int(tris.count))
             else:

@@ -1,4 +1,4 @@
-"""Per-ray chunk culling (XLA) + compacted MXU matmul sweep (Pallas).
+"""Two-level chunk culling (XLA) + compacted MXU matmul sweep (Pallas).
 
 Why: XLA lowers per-lane gathers on TPU at ~1 row/cycle — any per-ray BVH
 walk (the GPU-native shape, ``shaders/hitRay.wgsl:42-110``) pays that on
@@ -6,50 +6,60 @@ every traversal step and lands orders of magnitude off speed-of-light.
 The TPU-native decomposition does the irregular work (pruning) as DENSE
 vector math and the regular work (intersection) as MXU matmuls:
 
-1. **Cull phase — per-ray slab tests, plain XLA** (:func:`chunk_cull`).
-   Triangles are stored in BVH DFS-preorder (``accel/bvh.py``), so every
-   aligned 128-triangle CHUNK of the array is spatially compact; at pack
-   time each chunk gets an AABB.  Every ray runs the standard slab test
-   (``shaders/common.wgsl:245-256``) against every chunk AABB — a dense
-   ``[rays, chunks]`` broadcast with no gathers and no tree walk; the
-   hierarchy is flattened into one brute-forceable level, which is what
-   the VPU is fast at (~25 ops/pair; ~1 ms for 262k rays x 640 chunks).
-   Rays are sorted by a *balanced* 6-D Morton key (origin and direction
-   bits interleaved evenly — direction-major sorting leaves bounce
-   wavefronts with origin spread that destroys tile coherence; measured
-   on an 82k-tri scene the balanced key cuts bounce tile-unions from
-   ~499/640 chunks to ~117, and per-ray slab precision cuts coherent
-   tiles from ~180 to ~4).  Per tile of ``TILE`` sorted rays the per-ray
-   hits OR-reduce into the tile's chunk set, front-to-back ordered by the
-   minimum slab entry distance — the TPU analog of the reference's
-   ordered traversal, its 66 -> 104 fps trick (``hitRay.wgsl:80-91``).
+1. **Sort** — rays are ordered by (front superchunk, balanced 6-D Morton
+   key): the major key is the id of the FIRST superchunk AABB the ray
+   can touch (:func:`lead_superchunk`), so rays needing the same part of
+   the mesh share tiles and bounce-wavefront tile unions track per-ray
+   needs; retired lanes (negative ``t_best0`` sentinel from
+   ``kernels/hit.py``) and rays aimed off-mesh sort to the end into
+   zero-work tiles the compacted queue never serves.
 
-2. **Sweep phase — compacted work queue, Pallas**
-   (:func:`tile_closest_hit`).  The ray-triangle test is reformulated so
-   the per-(ray, triangle) interaction is ONE inner product: a ray is
-   ``[d, o×d]`` / ``[o, 1]`` 8-vectors and a triangle contributes three
-   Plücker edge columns (``s_e = d·(p×q) + (o×d)·(q−p)`` is the signed
-   edge volume, and ``s0+s1+s2 = n·d`` is the Möller-Trumbore determinant
-   for free) plus a ``[−n, n·a]`` column for the unnormalized hit
-   parameter.  Each grid step sweeps up to SUBS_PER_STEP predicated
-   sub-blocks of CHUNKS_PER_STEP chunks for one tile (measured sweet
-   spot ≈ 25-30 Gpair/s at f32-HIGHEST; bigger blocks thrash VMEM,
-   smaller ones drown in the ~5-10 us fixed per-step cost).  Work is
-   COMPACTED: each round builds a queue of (tile, chunk-group) steps over
-   only the tiles that still have competitive chunks — a scalar-prefetched
-   tile-id array routes each step's ray/output blocks (steps for a tile
-   are consecutive, so its output block stays resident in VMEM across its
-   groups) — so no step ever sweeps a finished tile (round 2 ran a
-   while_loop to the WORST tile's pass count with every finished tile
-   re-sweeping dummy chunks at full step cost).  After each round a
-   tile's remaining front-to-back chunks are re-counted against its rays'
-   max running ``t_best``: a chunk whose conservative entry distance
-   exceeds every ray's best can never win.
+2. **Cull — two dense levels, plain XLA** (:func:`chunk_cull`).
+   Triangles are stored in BVH DFS-preorder (``accel/bvh.py``), so every
+   aligned 128-triangle CHUNK is spatially compact, as is every
+   SUPERCHUNK of 8-16 chunks.  A dense per-ray slab pass
+   (``shaders/common.wgsl:245-256`` semantics) over the ~80-160
+   superchunk AABBs picks each tile's front-to-back candidates; a
+   gathered fine pass slab-tests only those candidates' chunks,
+   tier-gated by ``lax.switch`` on the worst tile's candidate count —
+   cull cost tracks survivors, not total chunks (the reference's
+   analogue is the upper tree levels, here flattened into two dense
+   levels).  Tiles' surviving chunks sort front-to-back by conservative
+   entry distance — the TPU analog of the reference's ordered traversal,
+   its 66 -> 104 fps trick (``hitRay.wgsl:80-91``).
+
+3. **Sweep — compacted work queue, Pallas** (:func:`tile_closest_hit`).
+   The ray-triangle test is reformulated so the per-(ray, triangle)
+   interaction is ONE inner product: a ray is ``[d, o×d]`` / ``[o, 1]``
+   8-vectors and a triangle contributes three Plücker edge columns
+   (``s_e = d·(p×q) + (o×d)·(q−p)`` is the signed edge volume, and
+   ``s0+s1+s2 = n·d`` is the Möller-Trumbore determinant for free) plus
+   a ``[−n, n·a]`` column (with the triangle's global index planted in a
+   spare row) for the unnormalized hit parameter.  Each grid step sweeps
+   up to SUBS_PER_STEP predicated sub-blocks of CHUNKS_PER_STEP chunks
+   for one tile.  For meshes up to RESIDENT_MAX_CHUNKS the whole
+   combined table (~10.5 MB) lives in VMEM and chunks are fetched by
+   in-kernel dynamic indexing (no XLA gathers, no per-step table DMA);
+   larger meshes fall back to per-step XLA-gathered tables.  Work is
+   COMPACTED: each round builds a queue of (tile, chunk-group) steps
+   over only the tiles that still have competitive chunks — a
+   scalar-prefetched tile-id array routes each step's ray/output blocks
+   — and rounds after the first run at 1/8 grid width so stragglers
+   don't re-pay the ~3 us/step bookkeeping floor of a full-width round.
+   After each round a tile's remaining front-to-back chunks are
+   re-counted against its rays' max running ``t_best``.
 
 Correctness does not depend on the culling quality: the slab test is
-exact per (ray, chunk-AABB), entry distances are true lower bounds on hit
-``t`` (unit directions), and dummy-padded steps sweep the all-zero chunk
-whose columns self-reject.
+exact per (ray, box), entry distances are true lower bounds on hit ``t``
+(unit directions), and dummy-padded steps sweep the all-zero chunk whose
+columns self-reject.
+
+Measured dead ends kept for the record: a ray-major pair sweep
+(:func:`pair_closest_hit` — wins ~15x in slot count on incoherent
+wavefronts but loses to XLA per-round data-movement costs; see
+:func:`closest_hit`), TPG>1 span grouping (serializes on the shared
+chunk scratch), and bf16 culling (needs chunk-extent margins that grow
+unions ~3x).
 
 History: round 1 ran a cull *inside* the kernel with scalar control flow
 and a sliding node-window DMA into SMEM; that faults the real TPU
@@ -300,6 +310,24 @@ def lead_superchunk(origin, direction, t_cap, smin, smax):
     return lead.reshape(-1)[:n]
 
 
+def _tile_entries(origin, iv, t_cap, boxes_min, boxes_max, n_tiles: int):
+    """Per-tile min slab entry vs every box (``[n_tiles, M]``), block-
+    scanned so the ``[rays, M]`` broadcast stays memory-bounded."""
+    n_blocks = n_tiles // CULL_BLOCK
+    o_b = origin.reshape(n_blocks, CULL_BLOCK * TILE, 3)
+    i_b = iv.reshape(n_blocks, CULL_BLOCK * TILE, 3)
+    tc_b = t_cap.reshape(n_blocks, CULL_BLOCK * TILE)
+
+    def block(carry, inp):
+        o, ivb, tc = inp
+        ent = _slab_entries(o, ivb, tc, boxes_min, boxes_max)
+        m = ent.shape[1]
+        return carry, jnp.min(ent.reshape(CULL_BLOCK, TILE, m), axis=1)
+
+    _, ent = jax.lax.scan(block, None, (o_b, i_b, tc_b))
+    return ent.reshape(n_tiles, -1)
+
+
 def chunk_cull(origin, direction, t_best0, cmin, cmax):
     """Front-to-back per-tile chunk lists from exact per-ray slab tests,
     two-level: a dense coarse pass over superchunk AABBs picks each
@@ -334,21 +362,9 @@ def chunk_cull(origin, direction, t_best0, cmin, cmax):
     step_c = CHUNKS_PER_STEP * SUBS_PER_STEP
     cp = -(-n_chunks // step_c) * step_c
 
-    n_blocks = -(-n_tiles // CULL_BLOCK)
-    o_b = origin.reshape(n_blocks, CULL_BLOCK * TILE, 3)
-    i_b = iv.reshape(n_blocks, CULL_BLOCK * TILE, 3)
-    tc_b = t_cap.reshape(n_blocks, CULL_BLOCK * TILE)
-
     def dense_tile_entries(boxes_min, boxes_max):
-        """Per-tile min entry vs every box: ``[n_tiles, M]``."""
-        def block(carry, inp):
-            o, ivb, tc = inp
-            ent = _slab_entries(o, ivb, tc, boxes_min, boxes_max)
-            m = ent.shape[1]
-            return carry, jnp.min(ent.reshape(CULL_BLOCK, TILE, m), axis=1)
-
-        _, ent = jax.lax.scan(block, None, (o_b, i_b, tc_b))
-        return ent.reshape(n_tiles, -1)
+        return _tile_entries(origin, iv, t_cap, boxes_min, boxes_max,
+                             n_tiles)
 
     if n_chunks <= 2 * step_c or n_sc < 8:
         # Tiny mesh: the two-level machinery costs more than it saves.
@@ -427,7 +443,7 @@ def chunk_cull(origin, direction, t_best0, cmin, cmax):
             dense_tile_entries(cmin, cmax), n_chunks, diam)
         return *_pad_lists(order, ent_s, n_chunks, cp), count
 
-    tiers = [k for k in (8, 32) if k < n_sc]
+    tiers = [k for k in (8, 16, 32) if k < n_sc]
     branches = [functools.partial(fine_sparse, k) for k in tiers]
     branches.append(fine_dense)
     tier_idx = sum(jnp.int32(kmax > k) for k in tiers)
@@ -439,6 +455,13 @@ def chunk_cull(origin, direction, t_best0, cmin, cmax):
 # resident sweep kernel does in-kernel dynamic-index chunk lookups instead
 # of XLA gathers, so per-step HBM traffic drops to the ray/output blocks.
 RESIDENT_MAX_CHUNKS = 640
+# Tiles served per resident-sweep grid step.  The grid has a fixed
+# ~3 us/step bookkeeping floor, and TPG > 1 was built to amortize it —
+# but measured SLOWER (TPG=4: ~50 us/step vs 5.1 at TPG=1): the
+# TPG x SUBS predicated bodies serialize on the shared chunk scratch and
+# multiply the scalar-branch overhead past what the floor costs.  TPG=1
+# reduces to one tile per step, the measured optimum.
+TPG = 1
 
 
 def _combined_table(e0, e1, e2, tcol):
@@ -472,7 +495,7 @@ def _sweep_kernel_resident(t_min: float):
     t_min = np.float32(t_min)
     kc = CHUNKS_PER_STEP * TRI_CHUNK
 
-    def kernel(tos_ref, isf_ref, vg_ref, ids_ref, dm_ref, o1_ref, tb_ref,
+    def kernel(sos_ref, isf_ref, vg_ref, ids_ref, dm_ref, o1_ref, tb_ref,
                ib_ref, tab_ref, t_out, idx_out, sc):
         s = pl.program_id(0)
 
@@ -482,65 +505,73 @@ def _sweep_kernel_resident(t_min: float):
             idx_out[:] = ib_ref[:]
 
         step_c = SUBS_PER_STEP * CHUNKS_PER_STEP
-        for j in range(SUBS_PER_STEP):
-            @pl.when(j < vg_ref[s])
-            def _(j=j):
-                for c in range(CHUNKS_PER_STEP):
-                    # ids is FLAT [B * step_c]: a 2-D SMEM operand pads
-                    # its minor dim to a full 128 lanes (measured: a
-                    # [2048, 32] i32 queue = 1 MB, over SMEM's capacity).
-                    cid = ids_ref[s * step_c + j * CHUNKS_PER_STEP + c]
-                    sc[:, c * TRI_CHUNK:(c + 1) * TRI_CHUNK] = tab_ref[cid]
-                t_best = t_out[:]
-                idx_best = idx_out[:]
+        # TPG tiles per grid step amortize the per-step bookkeeping
+        # floor; each tile's sub-blocks are predicated independently.
+        for p in range(TPG):
+            rows = slice(p * TILE, (p + 1) * TILE)
+            for j in range(SUBS_PER_STEP):
+                @pl.when(j < vg_ref[s * TPG + p])
+                def _(p=p, j=j, rows=rows):
+                    for c in range(CHUNKS_PER_STEP):
+                        # ids is FLAT: a 2-D SMEM operand pads its minor
+                        # dim to a full 128 lanes (measured: a [2048, 32]
+                        # i32 queue = 1 MB, over SMEM's capacity).
+                        cid = ids_ref[(s * TPG + p) * step_c
+                                      + j * CHUNKS_PER_STEP + c]
+                        sc[:, c * TRI_CHUNK:(c + 1) * TRI_CHUNK] = \
+                            tab_ref[cid]
+                    t_best = t_out[rows, :]
+                    idx_best = idx_out[rows, :]
 
-                def mm(rays, rows):
-                    # HIGHEST: geometry needs f32-grade products — the TPU
-                    # default multiplies f32 matmul inputs in plain bf16,
-                    # which flips edge/hit tests.
-                    return jax.lax.dot_general(
-                        rays, sc[rows * RAY_K:(rows + 1) * RAY_K, :],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=_F32,
-                        precision=jax.lax.Precision.HIGHEST)
+                    def mm(rays, r):
+                        # HIGHEST: geometry needs f32-grade products —
+                        # the TPU default multiplies f32 matmul inputs in
+                        # plain bf16, which flips edge/hit tests.
+                        return jax.lax.dot_general(
+                            rays, sc[r * RAY_K:(r + 1) * RAY_K, :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=_F32,
+                            precision=jax.lax.Precision.HIGHEST)
 
-                dm = dm_ref[:]
-                s0, s1, s2 = mm(dm, 0), mm(dm, 1), mm(dm, 2)
-                tn = mm(o1_ref[:], 3)
-                den = s0 + s1 + s2               # = n·d (MT determinant)
-                inv = jnp.reciprocal(den)
-                tt = tn * inv
-                ok = ((jnp.abs(den) >= t_min) & (tt >= t_min)
-                      & (tt < t_best)
-                      & (s0 * inv >= t_min) & (s1 * inv >= t_min)
-                      & (s2 * inv >= t_min))
-                tm = jnp.where(ok, tt, _INF)
-                t_chunk = jnp.min(tm, axis=1, keepdims=True)  # [TILE, 1]
-                # gid rides the combined table's row 28 (tcol row 4).
-                isel = jnp.min(
-                    jnp.where(tm == t_chunk,
-                              sc[3 * RAY_K + 4:3 * RAY_K + 5, :], _INF),
-                    axis=1, keepdims=True)
-                upd = t_chunk < t_best
-                t_out[:] = jnp.where(upd, t_chunk, t_best)
-                idx_out[:] = jnp.where(upd, isel, idx_best)
+                    dm = dm_ref[rows, :]
+                    s0, s1, s2 = mm(dm, 0), mm(dm, 1), mm(dm, 2)
+                    tn = mm(o1_ref[rows, :], 3)
+                    den = s0 + s1 + s2           # = n·d (MT determinant)
+                    inv = jnp.reciprocal(den)
+                    tt = tn * inv
+                    ok = ((jnp.abs(den) >= t_min) & (tt >= t_min)
+                          & (tt < t_best)
+                          & (s0 * inv >= t_min) & (s1 * inv >= t_min)
+                          & (s2 * inv >= t_min))
+                    tm = jnp.where(ok, tt, _INF)
+                    t_chunk = jnp.min(tm, axis=1, keepdims=True)
+                    # gid rides the combined table's row 28 (tcol row 4).
+                    isel = jnp.min(
+                        jnp.where(tm == t_chunk,
+                                  sc[3 * RAY_K + 4:3 * RAY_K + 5, :],
+                                  _INF),
+                        axis=1, keepdims=True)
+                    upd = t_chunk < t_best
+                    t_out[rows, :] = jnp.where(upd, t_chunk, t_best)
+                    idx_out[rows, :] = jnp.where(upd, isel, idx_best)
 
     return kernel
 
 
-def _sweep_round_resident(ray_dm, ray_o1, t_best, idx_best, tos, isf, vg,
+def _sweep_round_resident(ray_dm, ray_o1, t_best, idx_best, sos, isf, vg,
                           ids, etab, t_min: float, interpret: bool):
-    """One compacted round with VMEM-resident tables (see
-    :func:`_sweep_kernel_resident`).  Queue semantics identical to
-    :func:`_sweep_round`."""
+    """One compacted SPAN round with VMEM-resident tables (see
+    :func:`_sweep_kernel_resident`).  ``sos [B]`` routes each grid step
+    to a span of TPG consecutive tiles; ``vg [B*TPG]`` and ``ids
+    [B*TPG*step_c]`` carry per-tile sub-block counts / chunk ids."""
     n_pad = ray_dm.shape[0]
-    b_steps, kd = ids.shape
+    b_steps = sos.shape[0]
     kc = CHUNKS_PER_STEP * TRI_CHUNK
 
-    def by_tile(kind):
+    def by_span(kind):
         return pl.BlockSpec(
-            kind, lambda s, tos_ref, isf_ref, vg_ref, ids_ref:
-            (tos_ref[s], 0), memory_space=pltpu.VMEM)
+            kind, lambda s, sos_ref, isf_ref, vg_ref, ids_ref:
+            (sos_ref[s], 0), memory_space=pltpu.VMEM)
 
     # The table must be a CONSTANT-index block, not a bare whole-array
     # spec: with no index map the pipeline re-DMAs the whole table every
@@ -548,14 +579,16 @@ def _sweep_round_resident(ray_dm, ray_o1, t_best, idx_best, tos, isf, vg,
     # sweep time); a constant block index engages the revisited-block
     # logic and the table is fetched once.
     whole = pl.BlockSpec(
-        etab.shape, lambda s, tos_ref, isf_ref, vg_ref, ids_ref:
+        etab.shape, lambda s, sos_ref, isf_ref, vg_ref, ids_ref:
         (0, 0, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b_steps,),
-        in_specs=[by_tile((TILE, RAY_K)), by_tile((TILE, RAY_K)),
-                  by_tile((TILE, 1)), by_tile((TILE, 1)), whole],
-        out_specs=(by_tile((TILE, 1)), by_tile((TILE, 1))),
+        in_specs=[by_span((TPG * TILE, RAY_K)),
+                  by_span((TPG * TILE, RAY_K)),
+                  by_span((TPG * TILE, 1)), by_span((TPG * TILE, 1)),
+                  whole],
+        out_specs=(by_span((TPG * TILE, 1)), by_span((TPG * TILE, 1))),
         scratch_shapes=[pltpu.VMEM((4 * RAY_K, kc), _F32)],
     )
     out_shape = jax.ShapeDtypeStruct((n_pad, 1), _F32)
@@ -564,8 +597,8 @@ def _sweep_round_resident(ray_dm, ray_o1, t_best, idx_best, tos, isf, vg,
         grid_spec=grid_spec,
         out_shape=(out_shape, out_shape),
         interpret=interpret,
-    )(tos, isf, vg, ids.reshape(-1), ray_dm, ray_o1, t_best, idx_best,
-      etab)
+    )(sos, isf, vg.reshape(-1), ids.reshape(-1), ray_dm, ray_o1, t_best,
+      idx_best, etab)
 
 
 def _sweep_kernel(t_min: float):
@@ -738,7 +771,6 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
 
     order, entry_sorted, count = chunk_cull(o_pad, d_pad, tb_pad,
                                             cmin, cmax)
-    n_tiles = n_pad // TILE
 
     ray_dm = jnp.concatenate(
         [d_pad, jnp.cross(o_pad, d_pad), jnp.zeros((n_pad, 2), _F32)],
@@ -749,17 +781,99 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
     etab = (_combined_table(e0, e1, e2, tcol)
             if n_chunks <= RESIDENT_MAX_CHUNKS else None)
 
+    t, idx = _tile_sweep_rounds(order, entry_sorted, count, ray_dm,
+                                ray_o1, tb_pad, e0, e1, e2, tcol, etab,
+                                t_min, interpret, n_chunks)
+    # Scatter back through the inverse permutation.
+    t_out = jnp.zeros((n,), _F32).at[perm].set(t[:n, 0])
+    i_out = jnp.zeros((n,), _F32).at[perm].set(idx[:n, 0])
+    return t_out, i_out.astype(jnp.int32)
+
+
+def _tile_sweep_rounds(order, entry_sorted, count, ray_dm, ray_o1, tb_pad,
+                       e0, e1, e2, tcol, etab, t_min: float,
+                       interpret: bool, n_chunks: int):
+    """Tile-major compacted-queue sweep rounds (the v2 sweep): serve each
+    tile's front-to-back chunk list in grid steps routed by scalar
+    prefetch, with per-round entry-vs-t_best termination.  The resident
+    variant (tables in VMEM) routes SPANS of TPG consecutive tiles per
+    grid step to amortize the ~3 us/step bookkeeping floor; the gather
+    variant (big meshes) keeps one tile per step.  Returns
+    ``(t [n_pad, 1], idx [n_pad, 1] f32)``."""
+    n_pad = ray_dm.shape[0]
+    n_tiles = n_pad // TILE
+    resident = n_chunks <= RESIDENT_MAX_CHUNKS
+
     k = CHUNKS_PER_STEP
     subs = SUBS_PER_STEP
-    step_c = k * subs                                 # chunks per step
-    kvec = jnp.arange(step_c, dtype=jnp.int32)[None]
+    step_c = k * subs                                 # chunks per tile-step
+    kvec = jnp.arange(step_c, dtype=jnp.int32)
     dummy = np.int32(n_chunks)
+    n_spans = n_tiles // TPG
 
     def cond(state):
         _, _, pos, limit = state
         return jnp.any(pos < limit)
 
-    def make_round(b_steps):
+    def recount(t_new, count_):
+        """Round termination: drop trailing front-to-back chunks whose
+        entry distance exceeds every ray's current best in the tile."""
+        t_tile = jnp.max(t_new.reshape(n_tiles, TILE), axis=1)
+        competitive = jnp.sum(entry_sorted <= t_tile[:, None],
+                              axis=1).astype(jnp.int32)
+        return jnp.minimum(count_, competitive)
+
+    def make_round_span(b_steps):
+      svec = jnp.arange(b_steps, dtype=jnp.int32)
+
+      def body(state):
+        t_best, idx_best, pos, limit = state
+        need = jnp.maximum(limit - pos, 0)
+        steps_t = -(-need // step_c)                  # [n_tiles]
+        span_steps = jnp.max(steps_t.reshape(n_spans, TPG), axis=1)
+        scum = jnp.cumsum(span_steps)
+        served_end = jnp.minimum(scum[-1], b_steps)
+
+        sos = jnp.searchsorted(scum, svec, side="right").astype(jnp.int32)
+        real = svec < served_end
+        sos_last = sos[jnp.maximum(served_end - 1, 0)]
+        sos = jnp.where(real, jnp.minimum(sos, n_spans - 1), sos_last)
+        scum_before = jnp.where(sos > 0, scum[jnp.maximum(sos - 1, 0)], 0)
+        local = svec - scum_before                    # round within span
+        tids = sos[:, None] * TPG + jnp.arange(TPG, dtype=jnp.int32)[None]
+        start = pos[tids] + local[:, None] * step_c   # [B, TPG]
+        idxs = jnp.minimum(start[..., None] + kvec[None, None],
+                           order.shape[1] - 1)        # [B, TPG, step_c]
+        ids = order[tids[..., None], idxs]
+        chunk_pos = local[:, None, None] * step_c + kvec[None, None]
+        over = chunk_pos >= need[tids][..., None]
+        ids = jnp.where(real[:, None, None] & ~over, ids, dummy)
+        isf = (real & ((svec == 0) | (sos != jnp.roll(sos, 1)))
+               ).astype(jnp.int32)
+        rem = jnp.clip(need[tids] - local[:, None] * step_c, 0, step_c)
+        vg = jnp.where(real[:, None], -(-rem // k), 0).astype(jnp.int32)
+
+        t_new, i_new = _sweep_round_resident(
+            ray_dm, ray_o1, t_best, idx_best, sos, isf, vg, ids, etab,
+            t_min, interpret)
+
+        scum_prev = jnp.concatenate([jnp.zeros((1,), scum.dtype),
+                                     scum[:-1]])
+        span_served = jnp.clip(jnp.minimum(scum, served_end) - scum_prev,
+                               0, span_steps)         # [n_spans]
+        served_tile = jnp.minimum(jnp.repeat(span_served, TPG), steps_t)
+        pos = pos + served_tile * step_c
+        # Unserved spans' output blocks are never written — keep carry.
+        touched = jnp.broadcast_to(
+            (span_served > 0)[:, None], (n_spans, TPG * TILE)
+        ).reshape(n_pad, 1)
+        t_new = jnp.where(touched, t_new, t_best)
+        i_new = jnp.where(touched, i_new, idx_best)
+        return t_new, i_new, pos, recount(t_new, count)
+
+      return body
+
+    def make_round_tile(b_steps):
       svec = jnp.arange(b_steps, dtype=jnp.int32)
 
       def body(state):
@@ -767,8 +881,7 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
         need = jnp.maximum(limit - pos, 0)
         steps_t = -(-need // step_c)                  # [n_tiles]
         cum = jnp.cumsum(steps_t)
-        total = cum[-1]
-        served_end = jnp.minimum(total, b_steps)
+        served_end = jnp.minimum(cum[-1], b_steps)
 
         # Step -> tile routing (compacted queue, sorted by tile).
         tos = jnp.searchsorted(cum, svec, side="right").astype(jnp.int32)
@@ -778,9 +891,10 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
         cum_before = jnp.where(tos > 0, cum[jnp.maximum(tos - 1, 0)], 0)
         local = svec - cum_before                     # step within tile
         start = pos[tos] + local * step_c
-        idxs = jnp.minimum(start[:, None] + kvec, order.shape[1] - 1)
+        idxs = jnp.minimum(start[:, None] + kvec[None],
+                           order.shape[1] - 1)
         ids = order[tos[:, None], idxs]               # [B, SUBS*K]
-        chunk_pos = local[:, None] * step_c + kvec    # within-need offset
+        chunk_pos = local[:, None] * step_c + kvec[None]
         over = chunk_pos >= need[tos][:, None]
         ids = jnp.where(real[:, None] & ~over, ids, dummy)
         isf = (real & ((svec == 0) | (tos != jnp.roll(tos, 1)))
@@ -789,14 +903,9 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
         rem = jnp.clip(need[tos] - local * step_c, 0, step_c)
         vg = jnp.where(real, -(-rem // k), 0).astype(jnp.int32)
 
-        if n_chunks <= RESIDENT_MAX_CHUNKS:
-            t_new, i_new = _sweep_round_resident(
-                ray_dm, ray_o1, t_best, idx_best, tos, isf, vg, ids,
-                etab, t_min, interpret)
-        else:
-            t_new, i_new = _sweep_round(
-                ray_dm, ray_o1, t_best, idx_best, tos, isf, vg, ids,
-                e0, e1, e2, tcol, t_min, interpret)
+        t_new, i_new = _sweep_round(
+            ray_dm, ray_o1, t_best, idx_best, tos, isf, vg, ids,
+            e0, e1, e2, tcol, t_min, interpret)
         # Per-tile steps actually served this round (a tile queued past
         # the round budget waits for the next round).
         cum_prev = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]])
@@ -808,16 +917,12 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
         t_new = jnp.where(touched, t_new, t_best)
         i_new = jnp.where(touched, i_new, idx_best)
         pos = pos + served * step_c
-
-        # Round termination: drop trailing front-to-back chunks whose
-        # entry distance exceeds every ray's current best in the tile.
-        t_tile = jnp.max(t_new.reshape(n_tiles, TILE), axis=1)
-        competitive = jnp.sum(entry_sorted <= t_tile[:, None],
-                              axis=1).astype(jnp.int32)
-        limit = jnp.minimum(count, competitive)
-        return t_new, i_new, pos, limit
+        return t_new, i_new, pos, recount(t_new, count)
 
       return body
+
+    make_round = make_round_span if resident else make_round_tile
+    width = n_spans if resident else n_tiles
 
     t0 = tb_pad[:, None]
     i0 = jnp.full((n_pad, 1), -1.0, _F32)
@@ -828,11 +933,423 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
     # no-op, so leftover tiles must not re-pay the whole width (measured
     # 6.3 ms per 2048-step round at zero work).
     state = (t0, i0, pos0, count)
-    state = jax.lax.cond(cond(state), make_round(n_tiles),
+    state = jax.lax.cond(cond(state), make_round(width),
                          lambda s: s, state)
     t, idx, _, _ = jax.lax.while_loop(
-        cond, make_round(max(n_tiles // 8, 128)), state)
-    # Scatter back through the inverse permutation.
+        cond, make_round(max(width // 8, 64)), state)
+    return t, idx
+
+
+# ---------------------------------------------------------------- pair sweep
+# Ray-major "v3" traversal: instead of sweeping each TILE's chunk union
+# against all its rays (whose per-ray needs overlap poorly for bounce
+# wavefronts — measured ~20x slot waste), emit (ray, chunk) PAIRS from
+# per-ray candidate bitmaps, bin them by chunk, and sweep each chunk's
+# binned rays with resident tables.  Pair count tracks per-ray need
+# exactly; per-ray front-to-back order + a t_best gate recover the
+# reference's ordered-traversal early-out (hitRay.wgsl:80-91) at round
+# granularity.
+
+PAIR_TIERS = (16, 64)  # candidate-superchunk budgets (lax.switch tiers)
+PAIR_E = 2       # pairs emitted per ray per round
+PAIR_SLOT = 128  # pair rows per chunk segment (one matmul row block)
+PAIR_SEGS = 4    # chunk segments per pair-kernel grid step
+
+
+def _pack_bits(hit):
+    """``[n, kg]`` bool -> ``[n, kg//32]`` u32 (bit j of word w =
+    candidate w*32+j)."""
+    kg = hit.shape[-1]
+    w = kg // 32
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    h = hit.reshape(hit.shape[0], w, 32).astype(jnp.uint32)
+    return jnp.sum(h * weights[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def _pop_first_bit(bits):
+    """Lowest set bit per row of ``[n, W]`` u32 words -> ``(pos [n] i32
+    — W*32 when empty, bits with that bit cleared)``."""
+    n, w = bits.shape
+    nz = bits != 0
+    anyb = jnp.any(nz, axis=1)
+    wi = jnp.argmax(nz, axis=1).astype(jnp.int32)
+    word = jnp.take_along_axis(bits, wi[:, None], axis=1)[:, 0]
+    low = word & (jnp.uint32(0) - word)
+    # Bit index via the f32 exponent field: u32->f32 of a single-bit
+    # value is exact, and (bits >> 23) - 127 is pure integer math.
+    # (jnp.log2 is NOT exact for powers of two on some backends —
+    # 13 -> 12.9999 -> trunc 12 — which silently double-pops bits.)
+    fbits = jax.lax.bitcast_convert_type(
+        jnp.maximum(low, np.uint32(1)).astype(jnp.float32), jnp.uint32)
+    bitpos = ((fbits >> np.uint32(23)).astype(jnp.int32) - 127)
+    pos = jnp.where(anyb, wi * 32 + bitpos, np.int32(w * 32))
+    cleared = word ^ low
+    bits = jnp.where(jnp.arange(w, dtype=jnp.int32)[None, :] == wi[:, None],
+                     cleared[:, None], bits)
+    return pos, bits
+
+
+def _fine_bits(origin, iv, t_cap, bmin, bmax, valid_c, n_tiles):
+    """Per-ray candidate pass bitmaps ``[n_pad, kg//32]`` u32 — the same
+    per-ray fine slab test as the tile cull, kept per ray instead of
+    tile-reduced."""
+    kg = bmin.shape[1]
+    fb = 1
+    while fb < 64 and fb * 2 * TILE * kg <= (1 << 21):
+        fb *= 2
+    nfb = n_tiles // fb
+
+    def block(carry, inp):
+        o, ivb, tc, bmn, bmx, vc = inp
+        tlo = jnp.full((fb, TILE, kg), -_INF)
+        thi = jnp.full((fb, TILE, kg), _INF)
+        for ax in range(3):
+            t0 = ((bmn[:, None, :, ax] - o[:, :, None, ax])
+                  * ivb[:, :, None, ax])
+            t1 = ((bmx[:, None, :, ax] - o[:, :, None, ax])
+                  * ivb[:, :, None, ax])
+            tlo = jnp.maximum(tlo, jnp.minimum(t0, t1))
+            thi = jnp.minimum(thi, jnp.maximum(t0, t1))
+        ent0 = jnp.maximum(tlo, 0.0)
+        hit = (thi >= ent0) & (tlo <= tc[:, :, None]) & vc[:, None, :]
+        return carry, _pack_bits(hit.reshape(fb * TILE, kg))
+
+    n_pad = origin.shape[0]
+    _, bits = jax.lax.scan(
+        block, None,
+        (origin.reshape(nfb, fb, TILE, 3),
+         iv.reshape(nfb, fb, TILE, 3),
+         t_cap.reshape(nfb, fb, TILE),
+         bmin.reshape(nfb, fb, kg, 3),
+         bmax.reshape(nfb, fb, kg, 3),
+         valid_c.reshape(nfb, fb, kg)))
+    return bits.reshape(n_pad, kg // 32)
+
+
+def _pair_kernel(t_min: float):
+    """Binned pair sweep: each grid step serves PAIR_SEGS segments of
+    PAIR_SLOT pair rows, every segment against ONE chunk's resident
+    table.  No per-tile routing, no revisited outputs — a plain blocked
+    pipeline (the per-step floor of the scalar-routed tile kernel came
+    from exactly that machinery)."""
+    t_min = np.float32(t_min)
+
+    def kernel(cid_ref, dm_ref, o1_ref, tab_ref, t_out, i_out, sc):
+        s = pl.program_id(0)
+
+        def segment(kseg, cid):
+            sc[:, :] = tab_ref[cid]
+            rows = slice(kseg * PAIR_SLOT, (kseg + 1) * PAIR_SLOT)
+            dm = dm_ref[rows, :]
+            o1 = o1_ref[rows, :]
+
+            def mm(rays, r):
+                return jax.lax.dot_general(
+                    rays, sc[r * RAY_K:(r + 1) * RAY_K, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=_F32,
+                    precision=jax.lax.Precision.HIGHEST)
+
+            s0, s1, s2 = mm(dm, 0), mm(dm, 1), mm(dm, 2)
+            tn = mm(o1, 3)
+            den = s0 + s1 + s2
+            inv = jnp.reciprocal(den)
+            tt = tn * inv
+            # Per-slot t_best rides the ray vector's spare column 6 (the
+            # e-tables' rows 6-7 are zero, so it never enters a product).
+            tb = dm[:, 6:7]
+            ok = ((jnp.abs(den) >= t_min) & (tt >= t_min) & (tt < tb)
+                  & (s0 * inv >= t_min) & (s1 * inv >= t_min)
+                  & (s2 * inv >= t_min))
+            tm = jnp.where(ok, tt, _INF)
+            tsl = jnp.min(tm, axis=1, keepdims=True)
+            isel = jnp.min(
+                jnp.where(tm == tsl,
+                          sc[3 * RAY_K + 4:3 * RAY_K + 5, :], _INF),
+                axis=1, keepdims=True)
+            t_out[rows, :] = tsl
+            i_out[rows, :] = isel
+
+        for kseg in range(PAIR_SEGS):
+            cid = cid_ref[s * PAIR_SEGS + kseg]
+
+            # Dummy segments (padding slots / drained rounds) carry the
+            # dummy chunk id: skip them outright — their slots scatter
+            # to the overflow row, so unwritten outputs are never
+            # consumed.
+            @pl.when(cid < tab_ref.shape[0] - 1)
+            def _(kseg=kseg, cid=cid):
+                segment(kseg, cid)
+
+    return kernel
+
+
+def _pair_sweep(pair_dm, pair_o1, seg_cid, etab, t_min: float,
+                interpret: bool):
+    p_pad = pair_dm.shape[0]
+    blk = PAIR_SLOT * PAIR_SEGS
+    grid = (p_pad // blk,)
+
+    def lane():
+        return pl.BlockSpec((blk, RAY_K), lambda i, c_ref: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.BlockSpec((blk, 1), lambda i, c_ref: (i, 0),
+                       memory_space=pltpu.VMEM)
+    tab = pl.BlockSpec(etab.shape, lambda i, c_ref: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[lane(), lane(), tab],
+        out_specs=(out, out),
+        scratch_shapes=[pltpu.VMEM((4 * RAY_K, TRI_CHUNK), _F32)],
+    )
+    osh = jax.ShapeDtypeStruct((p_pad, 1), _F32)
+    return pl.pallas_call(
+        _pair_kernel(t_min),
+        grid_spec=grid_spec,
+        out_shape=(osh, osh),
+        interpret=interpret,
+    )(seg_cid, pair_dm, pair_o1, etab)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("t_min", "n_tris", "interpret"))
+def pair_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
+                     t_best0, t_min: float, n_tris: int,
+                     interpret: bool = False):
+    """Closest triangle hit per ray via the ray-major pair sweep.
+
+    Same contract as :func:`tile_closest_hit`.  Falls back to the
+    tile-major dense sweep (``lax.cond``) when some tile's candidate
+    superchunk count exceeds K_PAIR — the pair path's per-ray bitmaps
+    cover only the first K_PAIR front-to-back superchunks per tile.
+    """
+    e0, e1, e2, tcol, cmin, cmax = tris_packed
+    n_chunks = int(cmin.shape[0])
+    n = origin.shape[0]
+    n_pad = -(-n // (TILE * CULL_BLOCK)) * (TILE * CULL_BLOCK)
+    n_tiles = n_pad // TILE
+    g = _superchunk_size(n_chunks)
+    n_sc = -(-n_chunks // g)
+
+    # --- shared prep: lead-superchunk sort (see tile_closest_hit).
+    smin, smax = superchunk_boxes(cmin, cmax, g)
+    diam = scene_diam(origin, cmin, cmax)
+    lead = lead_superchunk(origin, direction,
+                           jnp.minimum(t_best0, diam), smin, smax)
+    morton = _morton_key6d(origin, direction, bvh.mins[0], bvh.maxs[0])
+    key = ((lead.astype(jnp.uint32) << np.uint32(24))
+           | (morton.astype(jnp.uint32) >> np.uint32(6)))
+    perm = jnp.argsort(key)
+    o_s, d_s, tb_s = origin[perm], direction[perm], t_best0[perm]
+    pad = n_pad - n
+    o_pad = jnp.concatenate([o_s, jnp.broadcast_to(o_s[-1:], (pad, 3))])
+    d_pad = jnp.concatenate([d_s, jnp.broadcast_to(d_s[-1:], (pad, 3))])
+    tb_pad = jnp.concatenate([tb_s, jnp.full((pad,), -_INF, _F32)])
+    iv = _inv_dir(d_pad)
+    t_cap = jnp.minimum(tb_pad, diam)
+
+    # --- coarse: per-tile candidate superchunks, front-to-back.
+    sc_ent = _tile_entries(o_pad, iv, t_cap, smin, smax, n_tiles)
+    sc_order, sc_ent_sorted, sc_count = _front_to_back_sort(
+        sc_ent, n_sc, diam)
+    kmax = jnp.max(sc_count)
+
+    ray_dm = jnp.concatenate(
+        [d_pad, jnp.cross(o_pad, d_pad), jnp.zeros((n_pad, 2), _F32)],
+        axis=1)
+    ray_o1 = jnp.concatenate(
+        [o_pad, jnp.ones((n_pad, 1), _F32), jnp.zeros((n_pad, 4), _F32)],
+        axis=1)
+    etab = _combined_table(e0, e1, e2, tcol)
+
+    # Candidate budgets: lax.switch tiers so coherent workloads (few
+    # candidate superchunks per tile) pay a narrow per-ray fine-bits
+    # pass while incoherent ones get a wide-enough candidate list; the
+    # dense tile-major sweep remains the fallback past the last tier.
+    tiers = [k for k in PAIR_TIERS if k < n_sc + 4]
+
+    cmin_d = jnp.concatenate([cmin, jnp.full((1, 3), _BIG)])
+    cmax_d = jnp.concatenate([cmax, jnp.full((1, 3), -_BIG)])
+
+    n_pairs = n_pad * PAIR_E
+    slot_bits = max((n_pairs - 1).bit_length(), 1)
+    assert slot_bits + max(int(n_chunks).bit_length(), 1) <= 32, (
+        "pair key overflow: too many rays x chunks for one u32 key")
+    slot_mask = np.uint32((1 << slot_bits) - 1)
+    blk = PAIR_SLOT * PAIR_SEGS
+    p_pad_pairs = -(-(n_pairs + PAIR_SLOT * n_chunks) // blk) * blk
+    tile_of = (jnp.arange(n_pad, dtype=jnp.int32) // TILE)
+    key_max = np.uint32(0xFFFFFFFF)
+
+    def pair_branch(k_budget):
+        # Round k_budget so the bitmap width k_pair*g is a 32-multiple.
+        k_pair = min(k_budget, -(-n_sc // 4) * 4)
+        kg = k_pair * g
+        assert kg % 32 == 0
+
+        cand = sc_order[:, :k_pair]                   # [T, k], dummy = S
+        if cand.shape[1] < k_pair:                    # n_sc < k_pair
+            cand = jnp.pad(cand, ((0, 0), (0, k_pair - cand.shape[1])),
+                           constant_values=n_sc)
+        cids = (jnp.minimum(cand, n_sc - 1)[:, :, None] * g
+                + jnp.arange(g, dtype=jnp.int32)[None, None])
+        cids = jnp.where(cand[:, :, None] < n_sc,
+                         jnp.minimum(cids, n_chunks - 1),
+                         np.int32(n_chunks)).reshape(n_tiles, kg)
+        bmin = cmin_d[cids]
+        bmax = cmax_d[cids]
+        valid_c = cids < n_chunks
+        bits0 = _fine_bits(o_pad, iv, t_cap, bmin, bmax, valid_c, n_tiles)
+        # Monotone per-position entry bound: the candidate's SUPERCHUNK
+        # coarse entry (repeated g times) — non-decreasing along the
+        # list, so "next entry > t_best" is an exact front-to-back stop.
+        ent_sc = sc_ent_sorted[:, :k_pair]
+        if ent_sc.shape[1] < k_pair:
+            ent_sc = jnp.pad(ent_sc,
+                             ((0, 0), (0, k_pair - ent_sc.shape[1])),
+                             constant_values=_INF)
+        ent_flat = jnp.repeat(ent_sc, g, axis=1).reshape(-1)
+        cids_flat = cids.reshape(-1)
+
+        def cond(state):
+            bits, _, _ = state
+            return jnp.any(bits != 0)
+
+        def body(state):
+            bits, t_best, ibest = state
+            pos0, bits1 = _pop_first_bit(bits)
+            gidx = tile_of * kg + jnp.minimum(pos0, kg - 1)
+            ent0 = ent_flat[gidx]
+            act = (pos0 < kg) & (ent0 <= t_best)
+            poss = [pos0]
+            b = bits1
+            for _ in range(PAIR_E - 1):
+                p_e, b = _pop_first_bit(b)
+                poss.append(p_e)
+            bits = jnp.where(act[:, None], b, jnp.uint32(0))
+            pos_arr = jnp.stack(poss, axis=1)         # [n_pad, E]
+            valid = act[:, None] & (pos_arr < kg)
+            cid_e = cids_flat[tile_of[:, None] * kg
+                              + jnp.minimum(pos_arr, kg - 1)]
+            slot = (jnp.arange(n_pad, dtype=jnp.uint32)[:, None]
+                    * np.uint32(PAIR_E)
+                    + jnp.arange(PAIR_E, dtype=jnp.uint32)[None])
+            keys = jnp.where(
+                valid,
+                (cid_e.astype(jnp.uint32) << np.uint32(slot_bits)) | slot,
+                key_max).reshape(-1)
+
+            # Sort with the ray data riding along as payload operands —
+            # a gather permutation costs ~10x a multi-operand sort +
+            # scatter on this hardware (measured: 1M x 8 gather 14 ms,
+            # 1M sort 0.09 ms, 1M scatter 0.2 ms).
+            dm2 = ray_dm.at[:, 6].set(t_best)         # t_best -> col 6
+            pay = [jnp.broadcast_to(dm2[:, c:c + 1],
+                                    (n_pad, PAIR_E)).reshape(-1)
+                   for c in range(7)]
+            pay += [jnp.broadcast_to(o_pad[:, c:c + 1],
+                                     (n_pad, PAIR_E)).reshape(-1)
+                    for c in range(3)]
+            sorted_ops = jax.lax.sort([keys] + pay, num_keys=1)
+            keys_sorted = sorted_ops[0]
+
+            # Padded-bin layout: bins (one per chunk) rounded up to
+            # PAIR_SLOT rows so every kernel segment is single-chunk.
+            probes = (jnp.arange(n_chunks + 1, dtype=jnp.uint32)
+                      << np.uint32(slot_bits))
+            bounds = jnp.searchsorted(keys_sorted, probes).astype(
+                jnp.int32)                            # [C+1]
+            counts = jnp.diff(bounds)
+            pcounts = -(-counts // PAIR_SLOT) * PAIR_SLOT
+            pstart = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(pcounts)])
+            shift = pstart[:-1] - bounds[:-1]         # pad before bin c
+            cid_s = (keys_sorted >> np.uint32(slot_bits)).astype(
+                jnp.int32)
+            validk = keys_sorted != key_max
+            dest = jnp.where(
+                validk,
+                jnp.arange(n_pairs, dtype=jnp.int32)
+                + shift[jnp.clip(cid_s, 0, n_chunks - 1)],
+                np.int32(p_pad_pairs))                # overflow row
+
+            def scat(col, init):
+                return jnp.full((p_pad_pairs + 1,), init,
+                                col.dtype).at[dest].set(col)[:p_pad_pairs]
+
+            pcols = [scat(sorted_ops[1 + c], np.float32(0.0))
+                     for c in range(10)]
+            slot_col = jnp.where(
+                validk, (keys_sorted & slot_mask).astype(jnp.int32),
+                np.int32(n_pairs))
+            pslot = scat(slot_col, np.int32(n_pairs))
+            zero_p = jnp.zeros((p_pad_pairs,), _F32)
+            one_p = jnp.ones((p_pad_pairs,), _F32)
+            pair_dm = jnp.stack(pcols[:7] + [zero_p], axis=1)
+            pair_o1 = jnp.stack(pcols[7:10] + [one_p] + [zero_p] * 4,
+                                axis=1)
+            seg_p = (jnp.arange(p_pad_pairs // PAIR_SLOT,
+                                dtype=jnp.int32) * PAIR_SLOT)
+            sb = jnp.searchsorted(pstart, seg_p, side="right") - 1
+            seg_cid = jnp.where(
+                seg_p < pstart[-1],
+                jnp.clip(sb, 0, n_chunks - 1),
+                np.int32(n_chunks)).astype(jnp.int32)
+
+            t_sl, i_sl = _pair_sweep(pair_dm, pair_o1, seg_cid, etab,
+                                     t_min, interpret)
+            # Unique slots per round: plain scatter back to (ray, e).
+            t_e = jnp.full((n_pairs + 1,), _INF).at[pslot].set(
+                t_sl[:, 0])[:n_pairs].reshape(n_pad, PAIR_E)
+            i_e = jnp.full((n_pairs + 1,), _INF).at[pslot].set(
+                i_sl[:, 0])[:n_pairs].reshape(n_pad, PAIR_E)
+            e_best = jnp.argmin(t_e, axis=1)
+            t_new = jnp.take_along_axis(t_e, e_best[:, None], axis=1)[:, 0]
+            i_new = jnp.take_along_axis(i_e, e_best[:, None], axis=1)[:, 0]
+            win = t_new < t_best
+            t_best = jnp.where(win, t_new, t_best)
+            ibest = jnp.where(win, i_new, ibest)
+            return bits, t_best, ibest
+
+        ib0 = jnp.full((n_pad,), -1.0, _F32)
+        bits, t_best, ibest = jax.lax.while_loop(
+            cond, body, (bits0, tb_pad, ib0))
+        return t_best[:, None], ibest[:, None]
+
+    def dense_branch():
+        order, ent_s, count = chunk_cull(o_pad, d_pad, tb_pad, cmin, cmax)
+        return _tile_sweep_rounds(order, ent_s, count, ray_dm, ray_o1,
+                                  tb_pad, e0, e1, e2, tcol, etab, t_min,
+                                  interpret, n_chunks)
+
+    branches = [functools.partial(pair_branch, kb) for kb in tiers]
+    branches.append(dense_branch)
+    tier_idx = sum(jnp.int32(kmax > min(kb, -(-n_sc // 4) * 4))
+                   for kb in tiers)
+    t, idx = jax.lax.switch(tier_idx, branches)
     t_out = jnp.zeros((n,), _F32).at[perm].set(t[:n, 0])
     i_out = jnp.zeros((n,), _F32).at[perm].set(idx[:n, 0])
     return t_out, i_out.astype(jnp.int32)
+
+
+def closest_hit(origin, direction, bvh: FlatBVH, tris_packed, t_best0,
+                t_min: float, n_tris: int, interpret: bool = False):
+    """Dispatch to the production traversal.
+
+    The tile-major sweep wins on this hardware.  The ray-major pair
+    sweep above (:func:`pair_closest_hit`) eliminates ~15x of the
+    tile-union slot waste on incoherent wavefronts IN SLOT COUNT, but
+    measured end-to-end it LOSES: every emission round moves the pair
+    set through XLA sort/scatter/broadcast fusions that cost ~45-70 ms
+    per round at 512^2 on a v5e chip (vs 0.2-0.4 ms for the same ops in
+    isolation at 1M elements — the while-loop-resident fusion forms are
+    element-rate-bound), and the candidate gate's conservative tile-level
+    entries keep rays alive for ~10 rounds.  Kept (with parity tests) as
+    a documented negative result; a future fused Pallas
+    emission/binning kernel could revive it."""
+    return tile_closest_hit(origin, direction, bvh, tris_packed, t_best0,
+                            t_min=t_min, n_tris=n_tris,
+                            interpret=interpret)
