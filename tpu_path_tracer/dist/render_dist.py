@@ -96,7 +96,7 @@ def make_sharded_loss_fn(mesh: Mesh, base_scene: SceneData, meta: SceneMeta,
 
 
 def measure_scaling(width: int = 512, height: int = 512, bounces: int = 4,
-                    iters: int = 8, repeats: int = 3):
+                    iters: int = 8, repeats: int = 5):
     """Scaling-efficiency harness (north star: ≥80% multi-device).
 
     Times the sharded train step on a 1-device mesh vs the full visible
@@ -140,10 +140,14 @@ def measure_scaling(width: int = 512, height: int = 512, bounces: int = 4,
         step = make_train_step(mesh, scene, meta, cfg, apply_params,
                                optimizer)
         target = jax.device_put(jnp.zeros((n_pix, 3), jnp.float32), sharding)
-        # Warm (compile), then chain steps and materialize (see bench.py on
-        # why un-materialized chains cannot be trusted for timing).
+        # Warm (compile) + a full throwaway timing block: the first
+        # post-compile iterations still carry allocator/pipeline warmup
+        # jitter that round-4 measured as an 80% spread across repeats.
         p, o = step(params, opt_state, target, jnp.int32(1), view)[:2]
         jax.block_until_ready((p, o))
+        for w in range(iters):
+            p, o, loss = step(p, o, target, jnp.int32(100 + w), view)
+        jax.block_until_ready(loss)
         out = []
         frame = 2
         for _ in range(repeats):

@@ -1121,10 +1121,13 @@ def pair_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
                      interpret: bool = False):
     """Closest triangle hit per ray via the ray-major pair sweep.
 
-    Same contract as :func:`tile_closest_hit`.  Falls back to the
-    tile-major dense sweep (``lax.cond``) when some tile's candidate
-    superchunk count exceeds K_PAIR — the pair path's per-ray bitmaps
-    cover only the first K_PAIR front-to-back superchunks per tile.
+    Same contract as :func:`tile_closest_hit`.  Tier-gated by
+    ``lax.switch`` on the worst tile's candidate-superchunk count
+    (PAIR_TIERS budgets); past the last tier it falls back to the
+    tile-major dense sweep, whose lists are unbounded.
+
+    Status: measured NEGATIVE result on v5e — see :func:`closest_hit`
+    for the numbers; kept with parity tests as the recorded experiment.
     """
     e0, e1, e2, tcol, cmin, cmax = tris_packed
     n_chunks = int(cmin.shape[0])
