@@ -71,9 +71,9 @@ LANES = 128
 # The backward kernel holds every unrolled-bounce residual in VMEM at the
 # forward/backward boundary; the tile must keep that live set under the
 # ~16 MB VMEM budget at deep bounce counts.  32 rows matches the forward
-# tile (same arithmetic intensity); Mosaic spills gracefully if a deep
-# unroll needs more — round-3 ran 16 rows and paid 5.1x forward cost,
-# round-4 measured 32 rows faster on the 4-bounce headline.
+# tile and measured 106 -> 202 Mray/s on the 4-bounce fwd+bwd headline
+# vs round-3's 16 rows; 64 rows fails to compile (VMEM overflow in the
+# unrolled reverse sweep).
 BWD_TILE_ROWS = 32
 # Bounce x sample unroll budget for the differentiable path: the backward
 # kernel unrolls ``max_bounces * spp`` copies of the bounce body (so AD
