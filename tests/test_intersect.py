@@ -108,3 +108,18 @@ def test_volume_free_flight_distribution():
     entry = 10.0
     flights = np.asarray(t)[np.asarray(t) < MAX_FLOAT] - entry
     assert abs(flights.mean() - 1 / density) < 0.02
+
+
+def test_triangle_tiny_det_not_rejected():
+    """A finely tessellated mesh has unnormalized normals ~edge_len^2 far
+    below scene epsilons; the parallel-ray cull must be scale-robust.
+    Round-4 regression: the reference's |det| < t_min guard
+    (common.wgsl:205) silently rejected EVERY triangle of a 327k-tri
+    icosphere (|n| ~ 5e-5 < 1e-4)."""
+    a = jnp.asarray([[0.0, 0.0, 0.8]])
+    b = jnp.asarray([[6e-3, 0.0, 0.8]])
+    c = jnp.asarray([[3e-3, 5e-3, 0.8]])
+    o = jnp.asarray([[3e-3, 2e-3, 3.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    t, u, v, w = intersect.triangle_t(o, d, a, b, c, 1e-4, 1e9)
+    np.testing.assert_allclose(float(t[0]), 2.2, rtol=1e-5)

@@ -24,6 +24,12 @@ from ..core.config import MAX_FLOAT
 # jnp scalar would be a 0-d DEVICE constant captured into every jitted
 # caller, which this runtime punishes with a sync round-trip per dispatch.
 INF = np.float32(MAX_FLOAT * 1.01)
+# Parallel-ray cull for Möller-Trumbore: |det| below this is treated as
+# "ray parallel to the triangle plane".  Absolute and tiny on purpose —
+# det scales with the unnormalized normal (~edge_len^2), so any guard at
+# scene-epsilon scale (the reference's |det| < t_min, common.wgsl:205)
+# silently rejects every triangle of a finely tessellated mesh.
+DET_EPS = np.float32(1e-12)
 
 
 def sphere_roots(origin, direction, center, radius):
@@ -95,8 +101,14 @@ def triangle_t(origin, direction, a, b, c, t_min, t_max):
     reference transforms the ray into object space per test because its GPU
     triangle buffer is object-space; ours is baked to world space at scene
     build (see ``core.types``), so the test runs directly.  Note the
-    reference's unusual guards: |det| < t_min culls, and the barycentrics must
-    each exceed t_min (not 0) — preserved for parity.
+    reference's unusual barycentric guards (each must exceed t_min, not 0)
+    — preserved for parity.  The reference ALSO culls on ``|det| < t_min``
+    (``common.wgsl:205``): that guard is scale-DEPENDENT — det carries the
+    unnormalized normal's magnitude ~edge_len^2, so a 327k-triangle mesh
+    (edge ~0.02 → |n| ~5e-5 < 1e-4) would reject EVERY triangle.  We use a
+    tiny absolute parallel-ray epsilon instead; for the reference's own
+    scene scales the two are indistinguishable (its meshes never get near
+    |n| = 1e-4).
     """
     ab = b - a
     ac = c - a
@@ -110,7 +122,7 @@ def triangle_t(origin, direction, a, b, c, t_min, t_max):
     v = -vm.dot(ab, dao) * inv_det
     w = 1.0 - u - v
     ok = (
-        (jnp.abs(det) >= t_min)
+        (jnp.abs(det) >= DET_EPS)
         & (t >= t_min) & (t <= t_max)
         & (u >= t_min) & (v >= t_min) & (w >= t_min)
     )

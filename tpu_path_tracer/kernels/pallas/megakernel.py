@@ -359,7 +359,11 @@ def _make_tracer(n_spheres: int, n_quads: int, n_tris: int,
                 det = -(dx * nx_ + dy * ny_ + dz * nz_)
                 aox, aoy, aoz = ox - ax_, oy - ay_, oz - az_
                 daox, daoy, daoz = _cross3(aox, aoy, aoz, dx, dy, dz)
-                det_ok = jnp.abs(det) >= t_min
+                # Parallel-ray cull at a tiny ABSOLUTE epsilon, not t_min: det
+                # scales with the unnormalized normal (~edge^2), and a
+                # t_min-scale guard rejects every triangle of a finely
+                # tessellated mesh (kernels.intersect.DET_EPS).
+                det_ok = jnp.abs(det) >= np.float32(1e-12)
                 # Guarded reciprocal: an unguarded 1/0 breeds inf that
                 # NaNs vertex gradients through the select (0 * inf in
                 # reverse mode — same hazard class as kernels/hit.py).

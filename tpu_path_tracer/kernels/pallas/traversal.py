@@ -93,6 +93,9 @@ CULL_BLOCK = 64        # tiles per cull-scan iteration (bounds memory)
 _F32 = jnp.float32
 RAY_K = 8              # matmul contraction dim: [d, o×d] / [o, 1, 0…]
 _INF = np.float32(3e38)
+# Parallel-ray det cull — see kernels.intersect.DET_EPS (the reference's
+# |det| < t_min guard rejects every triangle of a finely tessellated mesh).
+_DET_EPS = np.float32(1e-12)
 _BIG = np.float32(1e30)
 
 
@@ -539,7 +542,7 @@ def _sweep_kernel_resident(t_min: float):
                     den = s0 + s1 + s2           # = n·d (MT determinant)
                     inv = jnp.reciprocal(den)
                     tt = tn * inv
-                    ok = ((jnp.abs(den) >= t_min) & (tt >= t_min)
+                    ok = ((jnp.abs(den) >= _DET_EPS) & (tt >= t_min)
                           & (tt < t_best)
                           & (s0 * inv >= t_min) & (s1 * inv >= t_min)
                           & (s2 * inv >= t_min))
@@ -653,7 +656,7 @@ def _sweep_kernel(t_min: float):
                 # odd t_min barycentric guards (u,v,w >= t_min); all-zero
                 # padding columns give den == 0 and are rejected by the
                 # first clause.
-                ok = ((jnp.abs(den) >= t_min) & (tt >= t_min)
+                ok = ((jnp.abs(den) >= _DET_EPS) & (tt >= t_min)
                       & (tt < t_best)
                       & (s0 * inv >= t_min) & (s1 * inv >= t_min)
                       & (s2 * inv >= t_min))
@@ -1058,7 +1061,7 @@ def _pair_kernel(t_min: float):
             # Per-slot t_best rides the ray vector's spare column 6 (the
             # e-tables' rows 6-7 are zero, so it never enters a product).
             tb = dm[:, 6:7]
-            ok = ((jnp.abs(den) >= t_min) & (tt >= t_min) & (tt < tb)
+            ok = ((jnp.abs(den) >= _DET_EPS) & (tt >= t_min) & (tt < tb)
                   & (s0 * inv >= t_min) & (s1 * inv >= t_min)
                   & (s2 * inv >= t_min))
             tm = jnp.where(ok, tt, _INF)
