@@ -386,3 +386,50 @@ def test_pair_traversal_matches_jnp_walk():
                                np.asarray(t_ref)[hit_ref],
                                rtol=1e-3, atol=1e-4)
     assert hit_ref.sum() > 300
+
+
+def test_tile_traversal_prefix_tiers():
+    """Large mostly-retired wavefront: the lead-major sort packs the few
+    live rays into a prefix and the cull+sweep runs at a 1/8-width tier
+    (round-4 frame lever); results must match the jnp walk with the
+    tail carried through as misses."""
+    from tpu_path_tracer.core.config import LAMBERTIAN
+    from tpu_path_tracer.kernels import traversal as jnp_trav
+    from tpu_path_tracer.kernels.pallas.traversal import (
+        CULL_BLOCK, TILE, pack_tris, tile_closest_hit)
+    from tpu_path_tracer.scene import procedural
+    from tpu_path_tracer.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    m = b.add_material("white", LAMBERTIAN, [0.7, 0.7, 0.7])
+    b.add_mesh(procedural.icosphere(subdivisions=4, radius=0.8), m)
+    scene, meta = b.build(bvh="median")
+    tris, bvh = scene.triangles, scene.bvh
+
+    n = 8 * TILE * CULL_BLOCK  # 65,536: engages the n_pad/8 prefix tier
+    k = np.random.default_rng(9)
+    origin = np.tile(np.array([[0.0, 0.0, 3.0]], np.float32), (n, 1))
+    target = k.uniform(-0.6, 0.6, (n, 3)).astype(np.float32)
+    d = target - origin
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    origin = jnp.asarray(origin)
+    direction = jnp.asarray(d)
+    # 97% of lanes retired: live count ~ 2k << n_pad/8 = 8192.
+    dead = k.uniform(size=n) < 0.97
+    t0 = jnp.where(jnp.asarray(dead), -3e38, 1e9).astype(jnp.float32)
+
+    t_ref, i_ref = jnp_trav.bvh_closest_hit(
+        origin, direction, bvh, tris, 1e-4, t0, meta.max_leaf)
+    t_got, i_got = tile_closest_hit(
+        origin, direction, bvh, pack_tris(tris), t0,
+        t_min=1e-4, n_tris=int(tris.count), interpret=True)
+
+    i_ref, i_got = np.asarray(i_ref), np.asarray(i_got)
+    live = ~dead
+    assert np.all(i_got[dead] == -1)
+    np.testing.assert_array_equal((i_got >= 0)[live], (i_ref >= 0)[live])
+    hit = (i_ref >= 0) & live
+    np.testing.assert_allclose(np.asarray(t_got)[hit],
+                               np.asarray(t_ref)[hit],
+                               rtol=1e-3, atol=1e-4)
+    assert hit.sum() > 200

@@ -772,21 +772,52 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
     d_pad = jnp.concatenate([d_s, jnp.broadcast_to(d_s[-1:], (pad, 3))])
     tb_pad = jnp.concatenate([tb_s, jnp.full((pad,), -_INF, _F32)])
 
-    order, entry_sorted, count = chunk_cull(o_pad, d_pad, tb_pad,
-                                            cmin, cmax)
-
-    ray_dm = jnp.concatenate(
-        [d_pad, jnp.cross(o_pad, d_pad), jnp.zeros((n_pad, 2), _F32)],
-        axis=1)
-    ray_o1 = jnp.concatenate(
-        [o_pad, jnp.ones((n_pad, 1), _F32), jnp.zeros((n_pad, 4), _F32)],
-        axis=1)
     etab = (_combined_table(e0, e1, e2, tcol)
             if n_chunks <= RESIDENT_MAX_CHUNKS else None)
 
-    t, idx = _tile_sweep_rounds(order, entry_sorted, count, ray_dm,
-                                ray_o1, tb_pad, e0, e1, e2, tcol, etab,
-                                t_min, interpret, n_chunks)
+    def cull_and_sweep(p: int):
+        """Cull + sweep the first ``p`` SORTED rays; the tail is carried
+        through untouched.
+
+        The lead-major sort puts every ray with a candidate superchunk
+        in a prefix (no-candidate rays all carry lead = S, the max key),
+        so a prefix covering ``n_live`` rays is exact — the tail is
+        provably all-miss.  Tiering the whole cull+sweep onto the prefix
+        is the frame-level win: deep bounces have most lanes retired or
+        aimed off-mesh, yet the dense cull passes otherwise still run at
+        full width (measured ~25-30 ms/bounce of the 82k-tri frame's
+        ~40 ms/bounce).
+        """
+        o_p, d_p, tb_p = o_pad[:p], d_pad[:p], tb_pad[:p]
+        order, entry_sorted, count = chunk_cull(o_p, d_p, tb_p,
+                                                cmin, cmax)
+        ray_dm = jnp.concatenate(
+            [d_p, jnp.cross(o_p, d_p), jnp.zeros((p, 2), _F32)], axis=1)
+        ray_o1 = jnp.concatenate(
+            [o_p, jnp.ones((p, 1), _F32), jnp.zeros((p, 4), _F32)],
+            axis=1)
+        t_p, i_p = _tile_sweep_rounds(order, entry_sorted, count, ray_dm,
+                                      ray_o1, tb_p, e0, e1, e2, tcol,
+                                      etab, t_min, interpret, n_chunks)
+        t_full = jnp.concatenate([t_p, tb_pad[p:, None]])
+        i_full = jnp.concatenate(
+            [i_p, jnp.full((n_pad - p, 1), -1.0, _F32)])
+        return t_full, i_full
+
+    step = TILE * CULL_BLOCK
+    prefixes = [p for p in (n_pad // 8, n_pad // 4, n_pad // 2)
+                if p >= step and p % step == 0]
+    prefixes.append(n_pad)
+    if len(prefixes) > 1:
+        # Rays with any candidate superchunk (retired lanes' negative
+        # bound already forces lead = S, so they never count).
+        n_live = jnp.sum(lead < jnp.int32(smin.shape[0]))
+        branches = [functools.partial(cull_and_sweep, p)
+                    for p in prefixes]
+        tier = sum(jnp.int32(n_live > p) for p in prefixes[:-1])
+        t, idx = jax.lax.switch(tier, branches)
+    else:
+        t, idx = cull_and_sweep(n_pad)
     # Scatter back through the inverse permutation.
     t_out = jnp.zeros((n,), _F32).at[perm].set(t[:n, 0])
     i_out = jnp.zeros((n,), _F32).at[perm].set(idx[:n, 0])
