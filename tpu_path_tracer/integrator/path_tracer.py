@@ -27,6 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from ..core import rng, vecmath as vm
 from ..core.config import RenderConfig
@@ -49,6 +50,13 @@ def trace(rand_state, ray: Ray, scene: SceneData, meta: SceneMeta,
 
         rs, ptype, pidx, vol_u = find_hit(rs, cur_ray, scene, meta, cfg,
                                           alive=alive)
+        # Named for the remat policy below: the discrete hit results are
+        # tiny ([N] i32/f32 per bounce) but their recomputation is the
+        # whole traversal — the single most expensive thing the backward
+        # sweep could ever rematerialize.
+        ptype = checkpoint_name(ptype, "hit_ptype")
+        pidx = checkpoint_name(pidx, "hit_pidx")
+        vol_u = checkpoint_name(vol_u, "hit_vol_u")
         rec = shade_hit(cur_ray, ptype, pidx, vol_u, scene, cfg)
 
         # Miss: background * throughput, lane retires (traceRay.wgsl:12-16).
@@ -118,9 +126,15 @@ def trace(rand_state, ray: Ray, scene: SceneData, meta: SceneMeta,
         # scan is bandwidth-bound on those saves (round-1 headline fwd+bwd
         # was 5x slower than 2x-forward cost would predict).  With
         # checkpointing the scan saves only the (small) carry between
-        # bounces and re-traces each bounce's interior on the way back.
+        # bounces and re-traces each bounce's interior on the way back —
+        # EXCEPT the discrete hit results: saving those [N]-sized indices
+        # (a few MB per bounce) lets the replay skip the BVH traversal,
+        # which is ~95% of a mesh frame (round 4: fwd+bwd step cost on the
+        # 82k-tri scene was 2.5x the forward frame before this).
         bounce = jax.checkpoint(
-            bounce, policy=jax.checkpoint_policies.nothing_saveable)
+            bounce,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "hit_ptype", "hit_pidx", "hit_vol_u"))
 
     # Under shard_map, the scan carry's varying-manual-axes type must be
     # consistent from step 0, but literal constants (and even the broadcast
