@@ -193,23 +193,20 @@ def _inv_dir(direction):
 
 
 def _slab_entries(o, iv, tc, bmin, bmax):
-    """Exact slab entries ``[*, M]`` for rays ``[*, 3]`` vs boxes
-    ``[M, 3]`` (or per-row boxes ``[*, M, 3]``); ``_INF`` where missed.
-    f32 on purpose — a bf16 variant needs a conservative box margin
-    comparable to the chunk extent, and the resulting union growth
-    (measured 3x) costs the sweep far more than bf16 saves here."""
-    per_row = bmin.ndim == 3
+    """Exact slab entries ``[rows, M]`` for rays ``[rows, 3]`` vs boxes
+    ``[M, 3]``; ``_INF`` where missed.  f32 on purpose — a bf16 variant
+    needs a conservative box margin comparable to the chunk extent, and
+    the resulting union growth (measured 3x) costs the sweep far more
+    than bf16 saves here."""
     rows = o.shape[0]
-    m = bmin.shape[-2] if per_row else bmin.shape[0]
+    m = bmin.shape[0]
     tlo = jnp.full((rows, m), -_INF)
     thi = jnp.full((rows, m), _INF)
     for ax in range(3):
         # SoA per-axis broadcasts keep the minor dim = boxes (a
         # [.., M, 3] compute layout would pad the 3-axis to a full lane).
-        lo = bmin[..., ax] if per_row else bmin[None, :, ax]
-        hi = bmax[..., ax] if per_row else bmax[None, :, ax]
-        t0 = (lo - o[:, ax:ax + 1]) * iv[:, ax:ax + 1]
-        t1 = (hi - o[:, ax:ax + 1]) * iv[:, ax:ax + 1]
+        t0 = (bmin[None, :, ax] - o[:, ax:ax + 1]) * iv[:, ax:ax + 1]
+        t1 = (bmax[None, :, ax] - o[:, ax:ax + 1]) * iv[:, ax:ax + 1]
         tlo = jnp.maximum(tlo, jnp.minimum(t0, t1))
         thi = jnp.minimum(thi, jnp.maximum(t0, t1))
     ent = jnp.maximum(tlo, 0.0)
@@ -761,10 +758,18 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
     morton = _morton_key6d(origin, direction, bvh.mins[0], bvh.maxs[0])
     key = ((lead.astype(jnp.uint32) << np.uint32(24))
            | (morton.astype(jnp.uint32) >> np.uint32(6)))
-    perm = jnp.argsort(key)
-    o_s = origin[perm]
-    d_s = direction[perm]
-    tb_s = t_best0[perm]
+    # Apply the sort by riding the ray data through lax.sort as payload
+    # operands: a [N] gather-by-permutation costs ~14 ns/row on this
+    # hardware (measured 4.3 ms per [262k] column — the three gathers
+    # were ~38 ms of a 143 ms frame) while the multi-operand sort is
+    # ~0.3 ms.  The carried iota IS the permutation, used only for the
+    # final scatter-back.
+    (_, ox, oy, oz, dx_, dy_, dz_, tb_s, perm) = jax.lax.sort(
+        [key, origin[:, 0], origin[:, 1], origin[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2], t_best0,
+         jnp.arange(n, dtype=jnp.int32)], num_keys=1)
+    o_s = jnp.stack([ox, oy, oz], axis=1)
+    d_s = jnp.stack([dx_, dy_, dz_], axis=1)
     pad = n_pad - n
     # Padded lanes repeat the last ray's geometry (tile bounds stay tight)
     # with a negative bound, so they contribute no chunks anywhere.
@@ -1179,8 +1184,13 @@ def pair_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
     morton = _morton_key6d(origin, direction, bvh.mins[0], bvh.maxs[0])
     key = ((lead.astype(jnp.uint32) << np.uint32(24))
            | (morton.astype(jnp.uint32) >> np.uint32(6)))
-    perm = jnp.argsort(key)
-    o_s, d_s, tb_s = origin[perm], direction[perm], t_best0[perm]
+    # Payload sort, not argsort+gather — see tile_closest_hit.
+    (_, ox, oy, oz, dx_, dy_, dz_, tb_s, perm) = jax.lax.sort(
+        [key, origin[:, 0], origin[:, 1], origin[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2], t_best0,
+         jnp.arange(n, dtype=jnp.int32)], num_keys=1)
+    o_s = jnp.stack([ox, oy, oz], axis=1)
+    d_s = jnp.stack([dx_, dy_, dz_], axis=1)
     pad = n_pad - n
     o_pad = jnp.concatenate([o_s, jnp.broadcast_to(o_s[-1:], (pad, 3))])
     d_pad = jnp.concatenate([d_s, jnp.broadcast_to(d_s[-1:], (pad, 3))])
