@@ -57,10 +57,14 @@ def test_megakernel_matches_wavefront_reference_scene(mesh):
     # Fog volumes + glass shells + mirror quad — all four BSDFs live;
     # with mesh=True the 12-triangle glass cube exercises the unrolled
     # Möller-Trumbore loop (the reference's single-dispatch scene shape).
-    # 8x8: forward interpret-mode cost scales with pixels; the structure
-    # (18 spheres, 8 quads, 12 tris) is what the parity contract covers.
-    scene, meta, _ = tpt.builtin.reference_scene(include_mesh=mesh)
-    cfg = tpt.RenderConfig(width=8, height=8, max_bounces=4)
+    # mini scene + 8x8 + 3 bounces: interpret-mode cost scales with
+    # spheres x bounces x pixels (round-4 verdict task 6: this test was
+    # 64 s); the parity contract covers the material/primitive STRUCTURE,
+    # which mini preserves (all four BSDF families + quads + mesh), and
+    # full-scene hardware parity lives in test_tpu_smoke.py.
+    scene, meta, _ = tpt.builtin.reference_scene(include_mesh=mesh,
+                                                 mini=True)
+    cfg = tpt.RenderConfig(width=8, height=8, max_bounces=3)
     ref, got = _run_both(scene, meta, cfg, eye=[0.5, 0.0, 2.5])
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
@@ -102,6 +106,8 @@ def test_megakernel_vjp_triangle_vertex_grads():
     # the shading point and normal) is what makes vertex gradients real,
     # and the tent lanes must actually REACH the light for their radiance
     # (and hence d(rad^2)) to be nonzero at this tiny pixel count.
+    # 8x8, not 8x4: at fewer pixels no tent lane reaches the light and
+    # the vertex gradient this test exists to check collapses to zero.
     cfg = tpt.RenderConfig(width=8, height=8, max_bounces=2,
                            importance_sampling=True,
                            light_sample_prob=0.9)
@@ -169,7 +175,7 @@ def test_megakernel_vjp_matches_wavefront_grads_nee():
     # 8x8 / 2 bounces: interpret-mode backward cost scales with
     # pixels x bounces (round-3 verdict task 4); NEE + quad-geometry
     # coverage is per-bounce, not per-depth.
-    cfg = tpt.RenderConfig(width=8, height=8, max_bounces=2,
+    cfg = tpt.RenderConfig(width=8, height=4, max_bounces=2,
                            importance_sampling=True)
     (lw, gw), (lm, gm) = _grad_both(
         scene, meta, cfg, eye=[0, 0, 3.2],
@@ -188,7 +194,7 @@ def test_megakernel_vjp_all_bsdfs():
     parity at full depth lives in test_tpu_smoke.py."""
     scene, meta, _ = tpt.builtin.reference_scene(include_mesh=False,
                                                  mini=True)
-    cfg = tpt.RenderConfig(width=8, height=8, max_bounces=2)
+    cfg = tpt.RenderConfig(width=8, height=4, max_bounces=2)
     (lw, gw), (lm, gm) = _grad_both(
         scene, meta, cfg, eye=[0.5, 0.0, 2.5], groups=("emission", "bsdf"))
     assert abs(lw - lm) <= 1e-6 * max(abs(lw), 1.0)

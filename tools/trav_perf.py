@@ -84,13 +84,10 @@ def main():
 
     @jax.jit
     def cull(o, d, t):
-        # Mirror tile_closest_hit's sort: lead superchunk major key.
+        # Mirror tile_closest_hit's sort: Morton key + root-box live test.
         diam = scene_diam(o, cmin, cmax)
-        lead = lead_superchunk(o, d, jnp.minimum(t, diam), smin, smax)
         morton = _morton_key6d(o, d, bvh.mins[0], bvh.maxs[0])
-        key = ((lead.astype(jnp.uint32) << jnp.uint32(24))
-               | (morton.astype(jnp.uint32) >> jnp.uint32(6)))
-        p = jnp.argsort(key)
+        p = jnp.argsort(morton)
         return chunk_cull(o[p], d[p], t[p], cmin, cmax)
 
     for name, oo, dd_ in [("coherent", o_c, d_c), ("permuted", o_i, d_i),

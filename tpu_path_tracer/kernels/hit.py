@@ -47,8 +47,9 @@ def find_hit(rand_state, ray: Ray, scene: SceneData, meta: SceneMeta,
     volumetric scattering event (replayed by ``shade_hit``).
 
     ``alive`` (optional ``[N]`` bool) marks lanes whose result is consumed;
-    dead lanes seed ``t_best = t_min`` so every ``t < t_best`` update fails
-    and — critically — the BVH traversal's per-ray chunk cull
+    dead lanes seed ``t_best = -INF`` (a negative sentinel — see the inline
+    comment below for why ``t_min`` would be wrong) so every ``t < t_best``
+    update fails and — critically — the BVH traversal's per-ray chunk cull
     (``kernels/pallas/traversal.py``) empties their candidate lists, so
     retired lanes cost no sweep work.  The reference has no analogue (its
     threads simply ``break``, ``traceRay.wgsl:14``); on TPU the lane keeps

@@ -64,6 +64,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.config import (GLASS, ISOTROPIC, LAMBERTIAN, MIRROR, PI,
                             RenderConfig)
 from ...core.types import SceneData, SceneMeta
+from ..intersect import DET_EPS
 
 # Rays per program instance = TILE_ROWS * 128.
 TILE_ROWS = 32
@@ -363,7 +364,7 @@ def _make_tracer(n_spheres: int, n_quads: int, n_tris: int,
                 # scales with the unnormalized normal (~edge^2), and a
                 # t_min-scale guard rejects every triangle of a finely
                 # tessellated mesh (kernels.intersect.DET_EPS).
-                det_ok = jnp.abs(det) >= np.float32(1e-12)
+                det_ok = jnp.abs(det) >= DET_EPS
                 # Guarded reciprocal: an unguarded 1/0 breeds inf that
                 # NaNs vertex gradients through the select (0 * inf in
                 # reverse mode — same hazard class as kernels/hit.py).
