@@ -394,11 +394,59 @@ def test_pair_traversal_matches_jnp_walk():
     assert hit_ref.sum() > 300
 
 
+def test_pairbin_traversal_matches_jnp_walk(monkeypatch):
+    """The single-shot pair-bin path (incoherent-wavefront production
+    branch) against the jnp skip-link walk, with dead lanes.  Dispatch
+    is forced to the pair branch by dropping the coherence threshold;
+    bounce-like rays (origins on the mesh, random directions) are the
+    workload the branch exists for."""
+    import tpu_path_tracer.kernels.pallas.traversal as T
+    from tpu_path_tracer.core.config import LAMBERTIAN
+    from tpu_path_tracer.kernels import traversal as jnp_trav
+    from tpu_path_tracer.scene import procedural
+    from tpu_path_tracer.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    m = b.add_material("white", LAMBERTIAN, [0.7, 0.7, 0.7])
+    b.add_mesh(procedural.icosphere(subdivisions=4, radius=0.8), m)
+    scene, meta = b.build(bvh="median")
+    tris, bvh = scene.triangles, scene.bvh
+
+    k = np.random.default_rng(3)
+    n = 4096
+    op = k.normal(size=(n, 3))
+    op /= np.linalg.norm(op, axis=1, keepdims=True)
+    origin = jnp.asarray((op * 0.81).astype(np.float32))
+    d = k.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    direction = jnp.asarray(d.astype(np.float32))
+    t0 = np.full((n,), 1e9, np.float32)
+    t0[::5] = -3e38  # retired lanes
+    t0 = jnp.asarray(t0)
+
+    t_ref, i_ref = jnp_trav.bvh_closest_hit(
+        origin, direction, bvh, tris, 1e-4, t0, meta.max_leaf)
+    jax.clear_caches()
+    monkeypatch.setattr(T, "PAIR_DISPATCH_KMAX", -1)
+    try:
+        t_got, i_got = T.tile_closest_hit(
+            origin, direction, bvh, T.pack_tris(tris), t0,
+            t_min=1e-4, n_tris=int(tris.count), interpret=True)
+        i_ref, i_got = np.asarray(i_ref), np.asarray(i_got)
+        np.testing.assert_array_equal(i_got >= 0, i_ref >= 0)
+        hit = i_ref >= 0
+        np.testing.assert_allclose(np.asarray(t_got)[hit],
+                                   np.asarray(t_ref)[hit],
+                                   rtol=1e-3, atol=1e-4)
+    finally:
+        jax.clear_caches()  # don't leak the forced-dispatch trace
+
+
 def test_tile_traversal_prefix_tiers():
-    """Large mostly-retired wavefront: the lead-major sort packs the few
-    live rays into a prefix and the cull+sweep runs at a 1/8-width tier
-    (round-4 frame lever); results must match the jnp walk with the
-    tail carried through as misses."""
+    """Large mostly-retired wavefront: the sort packs the few live rays
+    into a prefix and the cull+sweep runs at a 1/8-width tier (round-4
+    frame lever); results must match the jnp walk with the tail carried
+    through as misses."""
     from tpu_path_tracer.core.config import LAMBERTIAN
     from tpu_path_tracer.kernels import traversal as jnp_trav
     from tpu_path_tracer.kernels.pallas.traversal import (

@@ -10,9 +10,9 @@ import numpy as np
 
 from tpu_path_tracer.core.config import LAMBERTIAN
 from tpu_path_tracer.kernels.pallas.traversal import (
-    CHUNKS_PER_STEP, TILE, _morton_key6d, _superchunk_size, chunk_cull,
-    lead_superchunk, pack_tris, scene_diam, superchunk_boxes,
-    closest_hit, tile_closest_hit)
+    CHUNKS_PER_STEP, TILE, _interval_slab_entries, _inv_dir, _morton_key6d,
+    _superchunk_size, _tile_ray_bounds, chunk_cull, pack_tris, scene_diam,
+    superchunk_boxes, closest_hit, tile_closest_hit)
 from tpu_path_tracer.scene import procedural
 from tpu_path_tracer.scene.builder import SceneBuilder
 
@@ -90,6 +90,19 @@ def main():
         p = jnp.argsort(morton)
         return chunk_cull(o[p], d[p], t[p], cmin, cmax)
 
+    @jax.jit
+    def probe_kmax(o, d, t):
+        # The tile-vs-pair dispatch statistic (worst tile's candidate
+        # superchunks in the beam-interval coarse pass), Morton-sorted.
+        diam = scene_diam(o, cmin, cmax)
+        morton = _morton_key6d(o, d, bvh.mins[0], bvh.maxs[0])
+        p = jnp.argsort(morton)
+        os_, ds_, ts_ = o[p], d[p], t[p]
+        bounds = _tile_ray_bounds(os_, _inv_dir(ds_),
+                                  jnp.minimum(ts_, diam), N // TILE)
+        ent = _interval_slab_entries(bounds, smin, smax)
+        return jnp.max(jnp.sum(ent < 1e30, axis=1))
+
     for name, oo, dd_ in [("coherent", o_c, d_c), ("permuted", o_i, d_i),
                           ("bounce-like", o_b, d_b)]:
         def cull_step(e, oo=oo, dd_=dd_):
@@ -104,11 +117,12 @@ def main():
         dt_cull = timeit(cull_step)
         _, _, count = cull(oo, dd_, t0)
         work = int(np.asarray(jnp.sum(count)))
+        kmax = int(np.asarray(probe_kmax(oo, dd_, t0)))
         dt = timeit(full_step)
         hits = int((np.asarray(closest_hit(
             oo, dd_, bvh, packed, t0, t_min=1e-4, n_tris=nt)[1]) >= 0).sum())
         print(f"{name}: cull {dt_cull*1e3:.2f} ms, total {dt*1e3:.2f} ms, "
-              f"{N/dt/1e6:.1f} Mray/s, hits {hits}, "
+              f"{N/dt/1e6:.1f} Mray/s, hits {hits}, kmax {kmax}, "
               f"chunks {work} (avg {work/(N//TILE):.1f}/tile of "
               f"{cmin.shape[0]})", flush=True)
 

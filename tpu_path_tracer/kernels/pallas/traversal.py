@@ -451,24 +451,26 @@ def chunk_cull(origin, direction, t_best0, cmin, cmax):
     gmax = jnp.pad(cmax, ((0, pad_sg), (0, 0)),
                    constant_values=-_BIG).reshape(n_sc, g, 3)
 
-    def fine_sparse(k: int):
-        """Fine cull over each tile's first-k candidate superchunks."""
+    def _gather_cand(k: int):
+        """Gathered candidate-chunk ids/boxes for the first-k candidate
+        superchunks of each tile.  Dummy candidates (id S) and padding
+        chunks carry INVERTED (+BIG/-BIG) boxes whose min/max-swapped
+        slab test looks like an infinite box — the returned ``real``
+        mask must exclude them or every tile gains phantom entry-0
+        chunks."""
         kg = k * g
         cand = sc_order[:, :k]                       # [T, k], dummy = S
         cand_c = jnp.minimum(cand, n_sc - 1)
         cids = (cand_c[:, :, None] * g
                 + jnp.arange(g, dtype=jnp.int32)[None, None])
-        # Dummy candidates (id S) and padding chunks carry INVERTED
-        # (+BIG/-BIG) boxes whose min/max-swapped interval test looks
-        # like an infinite box — mask them out explicitly or every tile
-        # gains phantom entry-0 chunks.
         real = (cand[:, :, None] < n_sc) & (cids < n_chunks)
         cids = jnp.where(real, cids, np.int32(n_chunks))
         cids = cids.reshape(n_tiles, kg)
         bmin = gmin[cand_c].reshape(n_tiles, kg, 3)
         bmax = gmax[cand_c].reshape(n_tiles, kg, 3)
-        ent = _interval_slab_entries(bounds, bmin, bmax,
-                                     real.reshape(n_tiles, kg))
+        return cids, bmin, bmax, real.reshape(n_tiles, kg)
+
+    def _finish(ent, cids, kg):
         order_l, ent_s, count = _front_to_back_sort(ent, kg, diam)
         # Local candidate index -> real chunk id.
         cids_d = jnp.concatenate(
@@ -476,13 +478,69 @@ def chunk_cull(origin, direction, t_best0, cmin, cmax):
         order = jnp.take_along_axis(cids_d, order_l, axis=1)
         return *_pad_lists(order, ent_s, n_chunks, cp), count
 
+    def fine_sparse(k: int):
+        """Interval (beam) fine cull over each tile's first-k candidate
+        superchunks — the cheap path for COHERENT tiles, whose beams are
+        tight (measured ~2x union growth vs the exact per-ray cull on
+        primary rays, vs ~4x+ on diffuse bounces)."""
+        cids, bmin, bmax, real = _gather_cand(k)
+        ent = _interval_slab_entries(bounds, bmin, bmax, real)
+        return _finish(ent, cids, k * g)
+
+    def fine_sparse_exact(k: int):
+        """Exact per-ray fine cull over each tile's first-k candidate
+        superchunks, min-reduced to tiles — for INCOHERENT tiles, where
+        a beam interval covers most of the mesh and the tile-union sweep
+        would drown in phantom chunks (measured: interval fine at the
+        bounce tier grew unions 72 -> 272 chunks/tile)."""
+        kg = k * g
+        cids, bmin, bmax, real = _gather_cand(k)
+        # Block the per-ray test so the [fb, TILE, kg] broadcast stays
+        # memory-bounded; power-of-two fb divides n_tiles (a
+        # CULL_BLOCK=64 multiple).
+        fb = 1
+        while fb < 64 and fb * 2 * TILE * kg <= (1 << 21):
+            fb *= 2
+        nfb = n_tiles // fb
+
+        def block(carry, inp):
+            o, ivb, tc, bmn, bmx, vc = inp
+            tlo = jnp.full((fb, TILE, kg), -_INF)
+            thi = jnp.full((fb, TILE, kg), _INF)
+            for ax in range(3):
+                t0 = ((bmn[:, None, :, ax] - o[:, :, None, ax])
+                      * ivb[:, :, None, ax])
+                t1 = ((bmx[:, None, :, ax] - o[:, :, None, ax])
+                      * ivb[:, :, None, ax])
+                tlo = jnp.maximum(tlo, jnp.minimum(t0, t1))
+                thi = jnp.minimum(thi, jnp.maximum(t0, t1))
+            ent0 = jnp.maximum(tlo, 0.0)
+            hit = (thi >= ent0) & (tlo <= tc[:, :, None]) & vc[:, None, :]
+            ent0 = jnp.where(hit, ent0, _INF)
+            return carry, jnp.min(ent0, axis=1)      # [fb, kg]
+
+        _, ent = jax.lax.scan(
+            block, None,
+            (origin.reshape(nfb, fb, TILE, 3),
+             iv.reshape(nfb, fb, TILE, 3),
+             t_cap.reshape(nfb, fb, TILE),
+             bmin.reshape(nfb, fb, kg, 3),
+             bmax.reshape(nfb, fb, kg, 3),
+             real.reshape(nfb, fb, kg)))
+        return _finish(ent.reshape(n_tiles, kg), cids, kg)
+
     def fine_dense():
+        """Exact per-ray pass over ALL chunks, min-reduced to tiles —
+        the unbounded fallback when tiles' candidate lists overflow the
+        largest sparse tier."""
         order, ent_s, count = _front_to_back_sort(
-            _interval_slab_entries(bounds, cmin, cmax), n_chunks, diam)
+            _tile_entries(origin, iv, t_cap, cmin, cmax, n_tiles),
+            n_chunks, diam)
         return *_pad_lists(order, ent_s, n_chunks, cp), count
 
     tiers = [k for k in (8, 16, 32) if k < n_sc]
-    branches = [functools.partial(fine_sparse, k) for k in tiers]
+    branches = [(functools.partial(fine_sparse, k) if k <= 8 else
+                 functools.partial(fine_sparse_exact, k)) for k in tiers]
     branches.append(fine_dense)
     tier_idx = sum(jnp.int32(kmax > k) for k in tiers)
     return jax.lax.switch(tier_idx, branches)
@@ -830,30 +888,65 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
     etab = (_combined_table(e0, e1, e2, tcol)
             if n_chunks <= RESIDENT_MAX_CHUNKS else None)
 
+    # Sweep-width tiers for the pair-bin path: ABSOLUTE sizes shared by
+    # every ray-prefix branch, so the pair kernel compiles a bounded
+    # number of grid variants no matter which prefix runs.
+    blk_pb = PAIRBIN_SLOT * PAIRBIN_SEGS
+    pb_pad = PAIRBIN_SLOT * (-(-n_chunks // PAIR_G))
+    pad_tiers = sorted({
+        -(-(n_pad * PAIRBIN_K // f + pb_pad) // blk_pb) * blk_pb
+        for f in (64, 16, 8, 4, 2, 1)})
+
     def cull_and_sweep(p: int):
         """Cull + sweep the first ``p`` SORTED rays; the tail is carried
         through untouched.
 
-        The lead-major sort puts every ray with a candidate superchunk
-        in a prefix (no-candidate rays all carry lead = S, the max key),
-        so a prefix covering ``n_live`` rays is exact — the tail is
-        provably all-miss.  Tiering the whole cull+sweep onto the prefix
-        is the frame-level win: deep bounces have most lanes retired or
-        aimed off-mesh, yet the dense cull passes otherwise still run at
-        full width (measured ~25-30 ms/bounce of the 82k-tri frame's
-        ~40 ms/bounce).
+        The sort key forces every no-work ray (root-box miss / retired)
+        to the max key, so a prefix covering ``n_live`` rays is exact —
+        the tail is provably all-miss.  Tiering the whole cull+sweep
+        onto the prefix is the frame-level win: deep bounces have most
+        lanes retired or aimed off-mesh, yet the cull/emission passes
+        otherwise still run at full width.
+
+        Within a prefix, resident meshes dispatch between the tile-major
+        sweep (coherent wavefronts — tight beams, small tile unions) and
+        the single-shot pair-bin sweep (incoherent — per-ray candidates
+        beat tile unions ~27x in slot count), judged by the worst tile's
+        candidate count in the cheap beam-interval coarse pass.
         """
         o_p, d_p, tb_p = o_pad[:p], d_pad[:p], tb_pad[:p]
-        order, entry_sorted, count = chunk_cull(o_p, d_p, tb_p,
-                                                cmin, cmax)
         ray_dm = jnp.concatenate(
             [d_p, jnp.cross(o_p, d_p), jnp.zeros((p, 2), _F32)], axis=1)
         ray_o1 = jnp.concatenate(
             [o_p, jnp.ones((p, 1), _F32), jnp.zeros((p, 4), _F32)],
             axis=1)
-        t_p, i_p = _tile_sweep_rounds(order, entry_sorted, count, ray_dm,
+
+        def tile_branch():
+            order, entry_sorted, count = chunk_cull(o_p, d_p, tb_p,
+                                                    cmin, cmax)
+            return _tile_sweep_rounds(order, entry_sorted, count, ray_dm,
                                       ray_o1, tb_p, e0, e1, e2, tcol,
                                       etab, t_min, interpret, n_chunks)
+
+        if etab is not None:
+            g = _superchunk_size(n_chunks)
+            smin, smax = superchunk_boxes(cmin, cmax, g)
+            iv_p = _inv_dir(d_p)
+            t_cap_p = jnp.minimum(tb_p, diam)
+            bounds = _tile_ray_bounds(o_p, iv_p, t_cap_p, p // TILE)
+            ent_sc = _interval_slab_entries(bounds, smin, smax)
+            kmax = jnp.max(jnp.sum(ent_sc < _BIG, axis=1))
+
+            def pair_branch():
+                return _pairbin_path(o_p, d_p, tb_p, ray_dm, ray_o1,
+                                     etab, cmin, cmax, diam, t_min,
+                                     pad_tiers, tile_branch, interpret)
+
+            t_p, i_p = jax.lax.cond(
+                kmax <= jnp.int32(PAIR_DISPATCH_KMAX),
+                tile_branch, pair_branch)
+        else:
+            t_p, i_p = tile_branch()
         t_full = jnp.concatenate([t_p, tb_pad[p:, None]])
         i_full = jnp.concatenate(
             [i_p, jnp.full((n_pad - p, 1), -1.0, _F32)])
@@ -1029,15 +1122,339 @@ def _tile_sweep_rounds(order, entry_sorted, count, ray_dm, ray_o1, tb_pad,
     return t, idx
 
 
-# ---------------------------------------------------------------- pair sweep
-# Ray-major "v3" traversal: instead of sweeping each TILE's chunk union
-# against all its rays (whose per-ray needs overlap poorly for bounce
-# wavefronts — measured ~20x slot waste), emit (ray, chunk) PAIRS from
-# per-ray candidate bitmaps, bin them by chunk, and sweep each chunk's
-# binned rays with resident tables.  Pair count tracks per-ray need
-# exactly; per-ray front-to-back order + a t_best gate recover the
-# reference's ordered-traversal early-out (hitRay.wgsl:80-91) at round
-# granularity.
+# ------------------------------------------------------------ pair-bin sweep
+# Ray-major single-shot traversal for INCOHERENT wavefronts (the round-5
+# production path; round-4's round-looped pair sweep below is kept as the
+# recorded earlier experiment).  Measured motivation (tools/trav_stats.py,
+# 82k tris, diffuse bounce): a ray needs mean 4.9 / p99 13 candidate
+# chunks, while the tile-major sweep's 128-ray tile UNIONS average 72
+# chunks — ~27x slot waste.  Design:
+#
+#   1. Per-ray hit BITMAP vs ~160 "pair-bin" AABBs (PAIR_G=4 consecutive
+#      chunks per bin) — one dense exact slab pass, the only per-ray
+#      full-width cost.
+#   2. Fixed-width emission: pop the first PAIRBIN_K set bits per ray
+#      (front-to-back order is NOT needed — the shot is single-pass, so
+#      order only affects in-sweep t_best tightening, not correctness;
+#      rays with more candidates than the budget fall back to the dense
+#      tile path, checked exactly).
+#   3. ONE payload sort by (bin, slot) — ray data rides as sort payloads
+#      (gathers cost ~14 ns/row here; multi-operand sorts ~0.3 ms/M).
+#   4. Gather-free padded-bin layout: the sorted bin column is
+#      non-decreasing, so each pair's bin-start (cummax over boundary
+#      positions) and the padding inserted before it (cumsum over
+#      per-boundary pad) are pure vector ops — no searchsorted, no
+#      small-table gathers (both measured expensive on this stack).
+#   5. Pallas sweep: each 128-pair segment serves ONE bin = PAIR_G
+#      chunks; an in-kernel per-chunk slab test against the segment's
+#      128 rays skips chunks no ray needs, so bin granularity costs
+#      little over exact chunk pairs while avoiding a second (8x wider)
+#      emission sort.
+#   6. Scatter back to [rays, K] slots (unique), reduce by row-min.
+#
+# Round-4's failure mode (45-70 ms/round of while-loop-resident XLA
+# sort/scatter fusions) is structurally avoided: there is no round loop —
+# every op runs exactly once per call at standalone fusion rates.
+PAIR_G = 4        # chunks per pair-bin (candidate granularity)
+PAIRBIN_K = 16    # candidate bins per ray (overflow -> dense fallback)
+PAIRBIN_SLOT = 128   # pair rows per segment (one matmul row block)
+PAIRBIN_SEGS = 4     # segments per pair-kernel grid step
+# Tile-vs-pair dispatch: a wavefront whose worst tile sees more than
+# this many candidate superchunks in the beam-interval coarse pass is
+# incoherent enough that tile unions drown the sweep.
+PAIR_DISPATCH_KMAX = 12
+
+
+def _popcount(bits):
+    """Per-row popcount of a ``[n, W]`` u32 bitmap."""
+    x = bits
+    c55 = np.uint32(0x55555555)
+    c33 = np.uint32(0x33333333)
+    c0f = np.uint32(0x0F0F0F0F)
+    x = x - ((x >> np.uint32(1)) & c55)
+    x = (x & c33) + ((x >> np.uint32(2)) & c33)
+    x = (x + (x >> np.uint32(4))) & c0f
+    per_word = (x * np.uint32(0x01010101)) >> np.uint32(24)
+    return jnp.sum(per_word.astype(jnp.int32), axis=1)
+
+
+def _ray_bits_dense(origin, iv, t_cap, bmin, bmax):
+    """Per-ray hit bitmap ``[n_pad, M//32]`` vs a dense box set (M a
+    multiple of 32; padding boxes must be degenerate ``+BIG`` points,
+    which the slab test rejects).  Blocked so the ``[rows, M]``
+    broadcast stays memory-bounded."""
+    n_pad = origin.shape[0]
+    rb = TILE * CULL_BLOCK // 2
+    nb = n_pad // rb
+
+    def block(carry, inp):
+        o, ivb, tc = inp
+        ent = _slab_entries(o, ivb, tc, bmin, bmax)
+        return carry, _pack_bits(ent < _BIG)
+
+    _, bits = jax.lax.scan(
+        block, None, (origin.reshape(nb, rb, 3), iv.reshape(nb, rb, 3),
+                      t_cap.reshape(nb, rb)))
+    return bits.reshape(n_pad, bmin.shape[0] // 32)
+
+
+def _pairbin_kernel(t_min: float, n_pb: int):
+    """Binned pair sweep, one bin of PAIR_G chunks per 128-pair segment.
+
+    Per segment: read the bin id from the scalar-prefetched queue
+    (dummy = n_pb -> skip; the slots scatter to the overflow row so
+    unwritten outputs are never consumed), seed each slot's running best
+    with its ray's cap (dm column 6), then for each of the bin's PAIR_G
+    chunks run an in-kernel slab test of the 128 rays against the chunk
+    AABB (scalar-prefetched SMEM box table) and, only when some ray can
+    still hit it, copy the chunk's combined table out of the resident
+    VMEM table and run the Plücker MXU sweep.  Zero-initialized padding
+    slots self-reject via cap = 0 < t_min.
+    """
+    t_min = np.float32(t_min)
+
+    def kernel(bid_ref, bx_ref, dm_ref, o1_ref, tab_ref, t_out, i_out, sc):
+        s = pl.program_id(0)
+        for kseg in range(PAIRBIN_SEGS):
+            bid = bid_ref[s * PAIRBIN_SEGS + kseg]
+
+            @pl.when(bid < n_pb)
+            def _(kseg=kseg, bid=bid):
+                rows = slice(kseg * PAIRBIN_SLOT,
+                             (kseg + 1) * PAIRBIN_SLOT)
+                dm = dm_ref[rows, :]
+                o1 = o1_ref[rows, :]
+                tb = dm[:, 6:7]
+                t_out[rows, :] = tb
+                i_out[rows, :] = jnp.full_like(tb, _INF)
+                ivs = []
+                for ax in range(3):
+                    dax = dm[:, ax:ax + 1]
+                    ivs.append(jnp.where(dax >= 0.0, 1.0, -1.0)
+                               / jnp.maximum(jnp.abs(dax),
+                                             np.float32(1e-12)))
+                for c in range(PAIR_G):
+                    cid = bid * PAIR_G + c
+                    t_cur0 = t_out[rows, :]
+                    tlo = jnp.full_like(tb, -_INF)
+                    thi = jnp.full_like(tb, _INF)
+                    for ax in range(3):
+                        bmn = bx_ref[cid * 6 + ax]
+                        bmx = bx_ref[cid * 6 + 3 + ax]
+                        t0 = (bmn - o1[:, ax:ax + 1]) * ivs[ax]
+                        t1 = (bmx - o1[:, ax:ax + 1]) * ivs[ax]
+                        tlo = jnp.maximum(tlo, jnp.minimum(t0, t1))
+                        thi = jnp.minimum(thi, jnp.maximum(t0, t1))
+                    hit = ((thi >= jnp.maximum(tlo, 0.0))
+                           & (tlo <= t_cur0))
+
+                    @pl.when(jnp.any(hit))
+                    def _(cid=cid, rows=rows, dm=dm, o1=o1):
+                        sc[:, :] = tab_ref[cid]
+
+                        def mm(rays, r):
+                            return jax.lax.dot_general(
+                                rays, sc[r * RAY_K:(r + 1) * RAY_K, :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=_F32,
+                                precision=jax.lax.Precision.HIGHEST)
+
+                        s0, s1, s2 = mm(dm, 0), mm(dm, 1), mm(dm, 2)
+                        tn = mm(o1, 3)
+                        den = s0 + s1 + s2
+                        inv = jnp.reciprocal(den)
+                        tt = tn * inv
+                        t_cur = t_out[rows, :]
+                        ok = ((jnp.abs(den) >= _DET_EPS) & (tt >= t_min)
+                              & (tt < t_cur)
+                              & (s0 * inv >= t_min) & (s1 * inv >= t_min)
+                              & (s2 * inv >= t_min))
+                        tm = jnp.where(ok, tt, _INF)
+                        tc_ = jnp.min(tm, axis=1, keepdims=True)
+                        isel = jnp.min(
+                            jnp.where(tm == tc_,
+                                      sc[3 * RAY_K + 4:3 * RAY_K + 5, :],
+                                      _INF),
+                            axis=1, keepdims=True)
+                        upd = tc_ < t_cur
+                        t_out[rows, :] = jnp.where(upd, tc_, t_cur)
+                        i_out[rows, :] = jnp.where(upd, isel,
+                                                   i_out[rows, :])
+
+    return kernel
+
+
+def _pairbin_sweep(pair_dm, pair_o1, seg_bid, boxes_flat, etab,
+                   t_min: float, n_pb: int, interpret: bool):
+    p_pad = pair_dm.shape[0]
+    blk = PAIRBIN_SLOT * PAIRBIN_SEGS
+    grid = (p_pad // blk,)
+
+    def lane():
+        return pl.BlockSpec((blk, RAY_K), lambda i, b_ref, x_ref: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.BlockSpec((blk, 1), lambda i, b_ref, x_ref: (i, 0),
+                       memory_space=pltpu.VMEM)
+    tab = pl.BlockSpec(etab.shape, lambda i, b_ref, x_ref: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[lane(), lane(), tab],
+        out_specs=(out, out),
+        scratch_shapes=[pltpu.VMEM((4 * RAY_K, TRI_CHUNK), _F32)],
+    )
+    osh = jax.ShapeDtypeStruct((p_pad, 1), _F32)
+    return pl.pallas_call(
+        _pairbin_kernel(t_min, n_pb),
+        grid_spec=grid_spec,
+        out_shape=(osh, osh),
+        interpret=interpret,
+    )(seg_bid, boxes_flat, pair_dm, pair_o1, etab)
+
+
+def _pairbin_path(o_pad, d_pad, tb_pad, ray_dm, ray_o1, etab, cmin, cmax,
+                  diam, t_min: float, pad_tiers, fallback, interpret):
+    """Single-shot ray-major pair-bin traversal (module comment above).
+
+    ``pad_tiers``: static padded-pair-array sizes for the sweep's
+    ``lax.switch`` (absolute, shared across ray-prefix tiers so the
+    kernel compiles a bounded number of grid variants).  ``fallback``:
+    thunk returning the dense tile-path result, taken when some ray's
+    candidate-bin count exceeds PAIRBIN_K (exact check).  Returns
+    ``(t [n_pad, 1], idx [n_pad, 1] f32)`` like
+    :func:`_tile_sweep_rounds`.
+    """
+    n_pad = o_pad.shape[0]
+    n_chunks = cmin.shape[0]
+    n_pb = -(-n_chunks // PAIR_G)
+    k = PAIRBIN_K
+    iv = _inv_dir(d_pad)
+    t_cap = jnp.minimum(tb_pad, diam)
+
+    # Bin AABBs (+BIG/-BIG padding keeps partial bins tight); the bitmap
+    # width pads to a 32-multiple with degenerate +BIG point boxes the
+    # slab test rejects outright.
+    pbmin, pbmax = superchunk_boxes(cmin, cmax, PAIR_G)
+    w32 = -(-n_pb // 32) * 32
+    pbmin_p = jnp.pad(pbmin, ((0, w32 - n_pb), (0, 0)),
+                      constant_values=_BIG)
+    pbmax_p = jnp.pad(pbmax, ((0, w32 - n_pb), (0, 0)),
+                      constant_values=_BIG)
+    bits = _ray_bits_dense(o_pad, iv, t_cap, pbmin_p, pbmax_p)
+    overflow = jnp.max(_popcount(bits)) > k
+
+    def emit():
+        cands = []
+        b = bits
+        for _ in range(k):
+            p, b = _pop_first_bit(b)
+            cands.append(p)
+        cand = jnp.stack(cands, axis=1)              # [n_pad, K]
+        valid = cand < n_pb
+
+        slot_bits = max((n_pad * k - 1).bit_length(), 1)
+        bin_bits = max(int(n_pb).bit_length(), 1)
+        assert slot_bits + bin_bits <= 31, (
+            f"pair-bin key overflow: {n_pad} rays x {k} x {n_pb} bins")
+        slot = (jnp.arange(n_pad, dtype=jnp.uint32)[:, None]
+                * np.uint32(k)
+                + jnp.arange(k, dtype=jnp.uint32)[None])
+        key_max = np.uint32(0xFFFFFFFF)
+        keys = jnp.where(
+            valid,
+            (cand.astype(jnp.uint32) << np.uint32(slot_bits)) | slot,
+            key_max).reshape(-1)
+
+        def bc(col):
+            return jnp.broadcast_to(col[:, None], (n_pad, k)).reshape(-1)
+
+        pay = ([bc(ray_dm[:, c]) for c in range(6)] + [bc(t_cap)]
+               + [bc(o_pad[:, c]) for c in range(3)])
+        sorted_ops = jax.lax.sort([keys] + pay, num_keys=1)
+        ks = sorted_ops[0]
+        p0 = ks.shape[0]
+        validk = ks != key_max
+        b_sorted = (ks >> np.uint32(slot_bits)).astype(jnp.int32)
+
+        # Gather-free padded-bin layout: b_sorted is non-decreasing over
+        # the valid prefix, so each pair's bin start and the padding
+        # accumulated before its bin are cummax/cumsum over boundary
+        # flags — no searchsorted, no index lookups.
+        pos = jnp.arange(p0, dtype=jnp.int32)
+        first = validk & ((pos == 0)
+                          | (b_sorted != jnp.roll(b_sorted, 1)))
+        start_self = jax.lax.cummax(jnp.where(first, pos, 0))
+        prev_start = jnp.where(pos > 0, jnp.roll(start_self, 1), 0)
+        pad_here = jnp.where(
+            first & (pos > 0),
+            (-(pos - prev_start)) % PAIRBIN_SLOT, 0)
+        dest0 = pos + jnp.cumsum(pad_here)
+        counts = jnp.zeros((n_pb + 1,), jnp.int32).at[
+            jnp.minimum(b_sorted, n_pb)].add(validk.astype(jnp.int32))
+        padded_total = jnp.sum(
+            -(-counts[:n_pb] // PAIRBIN_SLOT) * PAIRBIN_SLOT)
+
+        slot_mask = np.uint32((1 << slot_bits) - 1)
+        nk = n_pad * k
+
+        def tier(p_pad: int):
+            dest = jnp.where(validk & (dest0 < p_pad), dest0, p_pad)
+
+            def scat(col, init):
+                return jnp.full((p_pad + 1,), init,
+                                col.dtype).at[dest].set(col)[:p_pad]
+
+            cols = [scat(sorted_ops[1 + c], np.float32(0.0))
+                    for c in range(10)]
+            zero_p = jnp.zeros((p_pad,), _F32)
+            one_p = jnp.ones((p_pad,), _F32)
+            pair_dm = jnp.stack(cols[:7] + [zero_p], axis=1)
+            pair_o1 = jnp.stack(cols[7:10] + [one_p] + [zero_p] * 4,
+                                axis=1)
+            slot_col = jnp.where(validk,
+                                 (ks & slot_mask).astype(jnp.int32),
+                                 np.int32(nk))
+            pslot = scat(slot_col, np.int32(nk))
+            binp = scat(jnp.where(validk, b_sorted, np.int32(n_pb)),
+                        np.int32(n_pb))
+            seg_bid = binp[::PAIRBIN_SLOT]
+
+            cpb = n_pb * PAIR_G
+            bx = jnp.pad(cmin, ((0, cpb - n_chunks), (0, 0)),
+                         constant_values=_BIG)
+            bX = jnp.pad(cmax, ((0, cpb - n_chunks), (0, 0)),
+                         constant_values=_BIG)
+            boxes_flat = jnp.concatenate([bx, bX], axis=1).reshape(-1)
+
+            t_sl, i_sl = _pairbin_sweep(pair_dm, pair_o1, seg_bid,
+                                        boxes_flat, etab, t_min, n_pb,
+                                        interpret)
+            t_nk = jnp.full((nk + 1,), _INF).at[pslot].set(
+                t_sl[:, 0])[:nk].reshape(n_pad, k)
+            i_nk = jnp.full((nk + 1,), _INF).at[pslot].set(
+                i_sl[:, 0])[:nk].reshape(n_pad, k)
+            j = jnp.argmin(t_nk, axis=1)
+            t_new = jnp.take_along_axis(t_nk, j[:, None], axis=1)[:, 0]
+            i_new = jnp.take_along_axis(i_nk, j[:, None], axis=1)[:, 0]
+            # A pair slot with no triangle hit returns its seed cap
+            # (min(t_best0, diam)) with isel = INF — the id check is
+            # what distinguishes "found nothing" from a real hit below
+            # the caller's bound.
+            win = (i_new < _BIG) & (t_new < tb_pad)
+            return (jnp.where(win, t_new, tb_pad)[:, None],
+                    jnp.where(win, i_new, -1.0)[:, None])
+
+        tiers = [t for t in pad_tiers if t < p0 + PAIRBIN_SLOT * n_pb]
+        tiers.append(-(-(p0 + PAIRBIN_SLOT * n_pb)
+                       // (PAIRBIN_SLOT * PAIRBIN_SEGS))
+                     * (PAIRBIN_SLOT * PAIRBIN_SEGS))
+        branches = [functools.partial(tier, t) for t in tiers]
+        t_idx = sum(jnp.int32(padded_total > t) for t in tiers[:-1])
+        return jax.lax.switch(t_idx, branches)
+
+    return jax.lax.cond(overflow, fallback, emit)
 
 PAIR_TIERS = (16, 64)  # candidate-superchunk budgets (lax.switch tiers)
 PAIR_E = 2       # pairs emitted per ray per round
