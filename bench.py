@@ -391,7 +391,8 @@ def bench_mesh_monkey(width=512, height=512, bounces=4):
     b.add_quad([-2, 2, 2], [4, 0, 0], [0, 0, -4], light)
     b.add_quad([-2, -2, 2], [4, 0, 0], [0, 0, -4], white)
     mesh = load_obj(path)
-    b.add_mesh(mesh, white, Transform(scale=[1.1, 1.1, 1.1]))
+    b.add_mesh(mesh, white,
+               Transform().update(Transform.scale(1.1, 1.1, 1.1)))
     scene, meta = b.build(bvh="median")
 
     cfg = tpt.RenderConfig(width=width, height=height, max_bounces=bounces,
@@ -417,6 +418,132 @@ def bench_mesh_bvh_327k_1024():
     """BASELINE.json configs[4] names 1024^2 on a dragon-scale mesh:
     the 327k-tri icosphere at 1,048,576 primary rays/frame."""
     return bench_mesh_bvh(width=1024, height=1024, subdivisions=7)
+
+
+def bench_sol(width=512, height=512, bounces=4):
+    """Speed-of-light accounting (round-4 verdict, task 5): compiled-HLO
+    cost analysis (utils/profiling.cost_summary) for the megakernel
+    forward, the megakernel fwd+bwd train step, and one mesh traversal
+    call, each next to its measured wall time -> sol_frac = (best-case
+    time at peak FLOPs or HBM bandwidth) / measured.
+
+    Caveat recorded with the numbers: XLA's cost model cannot see inside
+    a Mosaic custom call, so for the two Pallas-dominated workloads the
+    analysis covers operand traffic + XLA-side ops only; the traversal
+    row adds a first-principles MXU flop count (swept chunks x 128 rays
+    x 128 triangles x 4 eight-wide dot products) for an honest
+    compute-side bound."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import tpu_path_tracer as tpt
+    from tpu_path_tracer.core import rng
+    from tpu_path_tracer.core.config import LAMBERTIAN, MIRROR
+    from tpu_path_tracer.diff.params import apply_params, extract_params
+    from tpu_path_tracer.integrator.render import path_trace_pixels
+    from tpu_path_tracer.kernels.pallas.megakernel import (
+        path_trace_pixels_pallas)
+    from tpu_path_tracer.utils.profiling import cost_summary
+
+    scene, meta, _ = tpt.builtin.cornell_box()
+    cfg = tpt.RenderConfig(width=width, height=height, max_bounces=bounces,
+                           importance_sampling=True)
+    cam = tpt.Camera(eye=[0, 0, 3.2], center=[0, 0, 0])
+    view = jnp.asarray(cam.view_matrix)
+    n, pix, px, py = _pixel_grid(width, height)
+    rs0 = rng.seed(pix, jnp.int32(7))
+
+    out = {}
+
+    @jax.jit
+    def fwd(rs, view, px, py, scene):
+        r = path_trace_pixels_pallas(rs, view, px, py, scene, meta, cfg)
+        return rs + r[:, 0].astype(jnp.uint32)
+
+    def measure(step, init, w=(10, 110)):
+        np.asarray(step(init))
+        return _marginal(_chain_run(step, init), *w)
+
+    dt = measure(lambda rs: fwd(rs, view, px, py, scene), rs0)
+    cs = cost_summary(fwd, rs0, view, px, py, scene)
+    sol_us = max(cs["sol_compute_us_f32"], cs["sol_memory_us"])
+    out["fwd_ms"] = dt * 1e3
+    out["fwd_sol_us"] = sol_us
+    out["fwd_sol_frac"] = sol_us / (dt * 1e6)
+    out["fwd_bytes"] = cs["bytes_accessed"]
+
+    cfgm = cfg.replace(use_megakernel=True)
+    params = extract_params(scene, groups=("emission", "bsdf"))
+    target = jnp.zeros((n, 3), jnp.float32)
+
+    def loss_fn(params, scene, pix, px, py, view, target, frame_num):
+        s = apply_params(scene, params)
+        rs = rng.seed(pix, frame_num)
+        _, radiance = path_trace_pixels(rs, view, px, py, s, meta, cfgm)
+        return jnp.mean((radiance - target) ** 2)
+
+    vg = jax.value_and_grad(loss_fn)
+
+    @jax.jit
+    def train_step(params, frame_num, scene, pix, px, py, view, target):
+        loss, g = vg(params, scene, pix, px, py, view, target, frame_num)
+        params = jax.tree.map(lambda p, gg: p - 1e-18 * gg, params, g)
+        return params, frame_num + jnp.int32(1)
+
+    init = (params, jnp.int32(1))
+    step = lambda st: train_step(st[0], st[1], scene, pix, px, py, view,
+                                 target)
+    dt = measure(step, init)
+    cs = cost_summary(train_step, params, jnp.int32(1), scene, pix, px,
+                      py, view, target)
+    sol_us = max(cs["sol_compute_us_f32"], cs["sol_memory_us"])
+    out["fwd_bwd_ms"] = dt * 1e3
+    out["fwd_bwd_sol_us"] = sol_us
+    out["fwd_bwd_sol_frac"] = sol_us / (dt * 1e6)
+
+    # Mesh traversal: one tile/pair closest-hit call on the 82k-tri
+    # icosphere, bounce-like rays (the hard case).
+    from tpu_path_tracer.kernels.pallas.traversal import (
+        TILE, chunk_cull, closest_hit, pack_tris)
+    from tpu_path_tracer.scene import procedural
+    from tpu_path_tracer.scene.builder import SceneBuilder
+    b = SceneBuilder()
+    mm = b.add_material("w", LAMBERTIAN, [0.7, 0.7, 0.7])
+    b.add_mesh(procedural.icosphere(subdivisions=6, radius=0.8), mm)
+    mscene, _ = b.build(bvh="median")
+    tris, bvh = mscene.triangles, mscene.bvh
+    packed = pack_tris(tris)
+    nt = int(tris.count)
+    k = np.random.default_rng(11)
+    op = k.normal(size=(n, 3))
+    op /= np.linalg.norm(op, axis=1, keepdims=True)
+    dd = k.normal(size=(n, 3))
+    dd /= np.linalg.norm(dd, axis=1, keepdims=True)
+    o_b = jnp.asarray((op * 0.81).astype(np.float32))
+    d_b = jnp.asarray(dd.astype(np.float32))
+    t0 = jnp.full((n,), 1e9, jnp.float32)
+
+    @jax.jit
+    def trav(o, d, t):
+        tt, ii = closest_hit(o, d, bvh, packed, t, t_min=1e-4, n_tris=nt)
+        return t + tt * 0.0 + ii.astype(jnp.float32) * 0.0
+
+    dt = measure(lambda t: trav(o_b, d_b, t), t0, w=(3, 13))
+    cs = cost_summary(trav, o_b, d_b, t0)
+    # First-principles MXU flops for the sweep the cost model can't see:
+    # surviving chunks (tile-path accounting — an upper bound for the
+    # pair path) x TILE rays x 128 tris x 4 dots x 16 flops.
+    work = int(np.asarray(jnp.sum(
+        chunk_cull(o_b, d_b, t0, packed[4], packed[5])[2])))
+    mxu_flops = work * TILE * 128 * 4 * 16
+    sol_mxu_us = mxu_flops / 197e12 * 1e6  # f32-on-MXU peak ~ bf16/2
+    sol_us = max(cs["sol_compute_us_f32"], cs["sol_memory_us"],
+                 sol_mxu_us)
+    out["trav_ms"] = dt * 1e3
+    out["trav_sol_us"] = sol_us
+    out["trav_sol_frac"] = sol_us / (dt * 1e6)
+    out["trav_mxu_gflop"] = mxu_flops / 1e9
+    return out
 
 
 def bench_scaling(width=256, height=256, bounces=4):
@@ -454,6 +581,9 @@ WORKLOADS = {
     "fwd_reference_scene": bench_fwd_reference_scene,
     "mesh_bvh": bench_mesh_bvh,
     "mesh_bvh_327k": bench_mesh_bvh_327k,
+    "mesh_monkey": bench_mesh_monkey,
+    "mesh_bvh_327k_1024": bench_mesh_bvh_327k_1024,
+    "sol": bench_sol,
     "scaling": bench_scaling,
 }
 
@@ -570,6 +700,15 @@ def main():
             "mesh_gen_ms": get("mesh_bvh", "mesh_gen_ms"),
             "mesh_upload_ms": get("mesh_bvh", "upload_ms"),
             "mesh_tris": (results["mesh_bvh"] or {}).get("tris"),
+            "mesh_monkey_mrays": get("mesh_monkey", "mrays"),
+            "mesh_monkey_tris": (results.get("mesh_monkey") or {}).get(
+                "tris"),
+            "mesh_327k_1024_mrays": get("mesh_bvh_327k_1024", "mrays"),
+            "mesh_327k_1024_frame_ms": get("mesh_bvh_327k_1024",
+                                           "frame_ms"),
+            "sol_frac_megakernel_fwd": get("sol", "fwd_sol_frac"),
+            "sol_frac_megakernel_fwd_bwd": get("sol", "fwd_bwd_sol_frac"),
+            "sol_frac_traversal": get("sol", "trav_sol_frac"),
             "scaling_efficiency_8dev": get("scaling", "efficiency"),
             "scaling_spread_pct": get("scaling", "spread_pct"),
             "headline_spread_pct": get("fwd_bwd_megakernel", "spread_pct"),

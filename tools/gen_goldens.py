@@ -18,10 +18,18 @@ def main():
     from tests.test_golden import CASES, GOLDEN_DIR, _cfg, render
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+    force = "--force" in sys.argv
     for name, case in sorted(CASES.items()):
+        path = os.path.join(GOLDEN_DIR, f"{name}.npy")
+        if os.path.exists(path) and not force:
+            print(f"{name}: exists, skipping (use --force to regenerate)")
+            continue
+        req = case.get("requires")
+        if req and not os.path.exists(req):
+            print(f"{name}: reference asset missing ({req}), skipping")
+            continue
         scene, meta, _ = case["scene"]()
         img = render(scene, meta, _cfg(), case["eye"])
-        path = os.path.join(GOLDEN_DIR, f"{name}.npy")
         np.save(path, img.astype(np.float32))
         print(f"{name}: {img.shape} mean={img.mean(axis=(0, 1))} -> {path}")
 
