@@ -193,7 +193,7 @@ def bench_fwd_bwd_mesh(width=512, height=512, bounces=4, subdivisions=6):
                                emission=[2, 2, 2])
         mirror = b.add_material("mirror", MIRROR, [0.9, 0.9, 0.9])
         b.add_quad([-2, -2, -2], [4, 0, 0], [0, 4, 0], white)
-        b.add_quad([-2, 2, 2], [4, 0, 0], [0, 0, -4], light)
+        b.add_quad([-2, 2, -2], [4, 0, 0], [0, 0, 4], light)
         b.add_quad([-2, -2, 2], [4, 0, 0], [0, 0, -4], white)
         mesh = procedural.icosphere(subdivisions=subdivisions, radius=0.8)
         b.add_mesh(mesh, mirror)
@@ -324,7 +324,7 @@ def bench_mesh_bvh(width=512, height=512, bounces=4, subdivisions=6):
     light = b.add_material("light", LAMBERTIAN, [0, 0, 0], emission=[2, 2, 2])
     mirror = b.add_material("mirror", MIRROR, [0.9, 0.9, 0.9])
     b.add_quad([-2, -2, -2], [4, 0, 0], [0, 4, 0], white)
-    b.add_quad([-2, 2, 2], [4, 0, 0], [0, 0, -4], light)
+    b.add_quad([-2, 2, -2], [4, 0, 0], [0, 0, 4], light)
     b.add_quad([-2, -2, 2], [4, 0, 0], [0, 0, -4], white)
     t0 = time.perf_counter()
     mesh = procedural.icosphere(subdivisions=subdivisions, radius=0.8)
@@ -388,7 +388,7 @@ def bench_mesh_monkey(width=512, height=512, bounces=4):
     white = b.add_material("white", LAMBERTIAN, [0.73, 0.73, 0.73])
     light = b.add_material("light", LAMBERTIAN, [0, 0, 0], emission=[2, 2, 2])
     b.add_quad([-2, -2, -2], [4, 0, 0], [0, 4, 0], white)
-    b.add_quad([-2, 2, 2], [4, 0, 0], [0, 0, -4], light)
+    b.add_quad([-2, 2, -2], [4, 0, 0], [0, 0, 4], light)
     b.add_quad([-2, -2, 2], [4, 0, 0], [0, 0, -4], white)
     mesh = load_obj(path)
     b.add_mesh(mesh, white,

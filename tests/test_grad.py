@@ -197,7 +197,7 @@ def test_vertex_gradient_full_trace_with_bvh():
         white = b.add_material("white", LAMBERTIAN, [0.73, 0.73, 0.73])
         light = b.add_material("light", LAMBERTIAN, [0, 0, 0],
                                emission=(5, 5, 5))
-        b.add_quad([-2, 2, 2], [4, 0, 0], [0, 0, -4], light)
+        b.add_quad([-2, 2, -2], [4, 0, 0], [0, 0, 4], light)
         b.add_mesh(tpt.procedural.icosphere(subdivisions=2, radius=0.8),
                    white)
         return b.build(bvh=bvh)

@@ -82,23 +82,28 @@ def main():
     g = _superchunk_size(int(cmin.shape[0]))
     smin, smax = superchunk_boxes(cmin, cmax, g)
 
+    def sort_rays(o, d, t):
+        # Mirror tile_closest_hit's sort: Morton key, data as lax.sort
+        # payloads (argsort+gather costs ~4 ms per [262k] column).
+        morton = _morton_key6d(o, d, bvh.mins[0], bvh.maxs[0])
+        (_, ox, oy, oz, dx, dy, dz, ts) = jax.lax.sort(
+            [morton, o[:, 0], o[:, 1], o[:, 2],
+             d[:, 0], d[:, 1], d[:, 2], t], num_keys=1)
+        return (jnp.stack([ox, oy, oz], axis=1),
+                jnp.stack([dx, dy, dz], axis=1), ts)
+
     @jax.jit
     def cull(o, d, t):
-        # Mirror tile_closest_hit's sort: Morton key + root-box live test.
-        diam = scene_diam(o, cmin, cmax)
-        morton = _morton_key6d(o, d, bvh.mins[0], bvh.maxs[0])
-        p = jnp.argsort(morton)
-        return chunk_cull(o[p], d[p], t[p], cmin, cmax)
+        os_, ds_, ts_ = sort_rays(o, d, t)
+        return chunk_cull(os_, ds_, ts_, cmin, cmax)
 
     @jax.jit
     def probe_kmax(o, d, t):
-        # The tile-vs-pair dispatch statistic (worst tile's candidate
-        # superchunks in the beam-interval coarse pass), Morton-sorted.
+        # The cull tier statistic (worst tile's candidate superchunks in
+        # the beam-interval coarse pass), Morton-sorted.
         diam = scene_diam(o, cmin, cmax)
-        morton = _morton_key6d(o, d, bvh.mins[0], bvh.maxs[0])
-        p = jnp.argsort(morton)
-        os_, ds_, ts_ = o[p], d[p], t[p]
-        bounds = _tile_ray_bounds(os_, _inv_dir(ds_),
+        os_, ds_, ts_ = sort_rays(o, d, t)
+        bounds = _tile_ray_bounds(os_, ds_, _inv_dir(ds_),
                                   jnp.minimum(ts_, diam), N // TILE)
         ent = _interval_slab_entries(bounds, smin, smax)
         return jnp.max(jnp.sum(ent < 1e30, axis=1))

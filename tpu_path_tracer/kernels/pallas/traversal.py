@@ -329,7 +329,7 @@ def _tile_entries(origin, iv, t_cap, boxes_min, boxes_max, n_tiles: int):
     return ent.reshape(n_tiles, -1)
 
 
-def _tile_ray_bounds(origin, iv, t_cap, n_tiles: int):
+def _tile_ray_bounds(origin, direction, iv, t_cap, n_tiles: int):
     """Per-tile conservative BEAM bounds over live lanes (t_cap >= 0):
     origin box, inverse-direction interval, max parametric reach.  Dead
     lanes (negative cap) are excluded so a tile's beam is shaped only by
@@ -342,8 +342,16 @@ def _tile_ray_bounds(origin, iv, t_cap, n_tiles: int):
     o_hi = jnp.max(jnp.where(live, o, -_BIG), axis=1)
     i_lo = jnp.min(jnp.where(live, i, _BIG), axis=1)
     i_hi = jnp.max(jnp.where(live, i, -_BIG), axis=1)
+    # Raw direction interval as well: when a tile's direction straddles
+    # zero on an axis its INVERSE interval is unbounded and the slab
+    # times constrain nothing, but position reach o + t*d with t <=
+    # t_cap stays tight (d is small where iv is huge) — see
+    # :func:`_interval_slab_entries`.
+    d = direction.reshape(n_tiles, TILE, 3)
+    d_lo = jnp.min(jnp.where(live, d, _BIG), axis=1)
+    d_hi = jnp.max(jnp.where(live, d, -_BIG), axis=1)
     tc = jnp.max(t_cap.reshape(n_tiles, TILE), axis=1)
-    return o_lo, o_hi, i_lo, i_hi, tc
+    return o_lo, o_hi, i_lo, i_hi, d_lo, d_hi, tc
 
 
 def _interval_slab_entries(bounds, bmin, bmax, valid=None):
@@ -361,13 +369,28 @@ def _interval_slab_entries(bounds, bmin, bmax, valid=None):
     produced (round-4 verdict, Next #1).  Correctness never depends on
     tightness: the sweep is exact, entries only gate/order it.
 
+    The inverse-direction slab intervals alone blow up whenever a tile's
+    direction straddles zero on an axis (the inverse interval spans
+    ``[-1/eps, 1/eps]`` and the axis constrains nothing — measured: the
+    image-center tiles of a coherent 512^2 wavefront matched ALL
+    superchunks, kmax 80/80, pushing the cull to its dense fallback and
+    the dispatch to the pair path).  The fix is a second, independent
+    interval test on POSITION reach: every live ray's position on axis
+    ``ax`` at parameter ``t <= tc`` lies in ``[o_lo + tc*min(d_lo, 0),
+    o_hi + tc*max(d_hi, 0)]`` (raw direction interval, which is SMALL
+    exactly where the inverse interval is huge), so a box strictly
+    outside that reach box is rejected even when the slab times are
+    unbounded.
+
     ``bmin/bmax``: ``[M, 3]`` (dense, shared across tiles) or
     ``[T, M, 3]`` (gathered per tile).  Returns ``[T, M]`` entries
     (``_INF`` where certainly missed).
     """
-    o_lo, o_hi, i_lo, i_hi, tc = bounds
+    o_lo, o_hi, i_lo, i_hi, d_lo, d_hi, tc = bounds
     dense = bmin.ndim == 2
+    tc_pos = jnp.maximum(tc, 0.0)
     tlo, thi = None, None
+    reach_ok = None
     for ax in range(3):
         bl, bh = bmin[..., ax], bmax[..., ax]
         if dense:
@@ -386,8 +409,14 @@ def _interval_slab_entries(bounds, bmin, bmax, valid=None):
         far_hi = jnp.maximum(t0_hi, t1_hi)
         tlo = near_lo if tlo is None else jnp.maximum(tlo, near_lo)
         thi = far_hi if thi is None else jnp.minimum(thi, far_hi)
+
+        r_lo = (o_lo[:, ax] + tc_pos * jnp.minimum(d_lo[:, ax], 0.0))
+        r_hi = (o_hi[:, ax] + tc_pos * jnp.maximum(d_hi[:, ax], 0.0))
+        r = (bh >= r_lo[:, None]) & (bl <= r_hi[:, None])
+        reach_ok = r if reach_ok is None else (reach_ok & r)
     ent = jnp.maximum(tlo, 0.0)
-    ok = (thi >= ent) & (tlo <= tc[:, None]) & (tc[:, None] >= 0.0)
+    ok = ((thi >= ent) & (tlo <= tc[:, None]) & (tc[:, None] >= 0.0)
+          & reach_ok)
     if valid is not None:
         ok &= valid
     return jnp.where(ok, ent, _INF)
@@ -425,7 +454,7 @@ def chunk_cull(origin, direction, t_best0, cmin, cmax):
     diam = scene_diam(origin, cmin, cmax)
     t_cap = jnp.minimum(t_best0, diam)              # [n_pad]
     iv = _inv_dir(direction)
-    bounds = _tile_ray_bounds(origin, iv, t_cap, n_tiles)
+    bounds = _tile_ray_bounds(origin, direction, iv, t_cap, n_tiles)
 
     step_c = CHUNKS_PER_STEP * SUBS_PER_STEP
     cp = -(-n_chunks // step_c) * step_c
@@ -928,12 +957,12 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
                                       ray_o1, tb_p, e0, e1, e2, tcol,
                                       etab, t_min, interpret, n_chunks)
 
-        if etab is not None:
+        if etab is not None and PAIR_DISPATCH_KMAX is not None:
             g = _superchunk_size(n_chunks)
             smin, smax = superchunk_boxes(cmin, cmax, g)
             iv_p = _inv_dir(d_p)
             t_cap_p = jnp.minimum(tb_p, diam)
-            bounds = _tile_ray_bounds(o_p, iv_p, t_cap_p, p // TILE)
+            bounds = _tile_ray_bounds(o_p, d_p, iv_p, t_cap_p, p // TILE)
             ent_sc = _interval_slab_entries(bounds, smin, smax)
             kmax = jnp.max(jnp.sum(ent_sc < _BIG, axis=1))
 
@@ -1159,10 +1188,16 @@ PAIR_G = 4        # chunks per pair-bin (candidate granularity)
 PAIRBIN_K = 16    # candidate bins per ray (overflow -> dense fallback)
 PAIRBIN_SLOT = 128   # pair rows per segment (one matmul row block)
 PAIRBIN_SEGS = 4     # segments per pair-kernel grid step
-# Tile-vs-pair dispatch: a wavefront whose worst tile sees more than
-# this many candidate superchunks in the beam-interval coarse pass is
-# incoherent enough that tile unions drown the sweep.
-PAIR_DISPATCH_KMAX = 12
+# Tile-vs-pair dispatch threshold (worst tile's candidate-superchunk
+# count in the beam-interval coarse pass).  ``None`` disables the pair
+# branch entirely (the cond is not even traced): measured on a v5e chip
+# at 512^2 / 82k tris, the single-shot pair-bin path runs 187 ms
+# (coherent) to 427 ms (bounce-like) against the tile sweep's 4-49 ms —
+# the K-wide emission sort (n*K rows x 11 operands) plus the per-segment
+# predicated table copies dominate.  Kept as a tested, forced-dispatch
+# API (tests/test_pallas.py::test_pairbin_traversal_matches_jnp_walk)
+# and a documented negative result, like :func:`pair_closest_hit`.
+PAIR_DISPATCH_KMAX = None
 
 
 def _popcount(bits):
