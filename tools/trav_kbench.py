@@ -47,6 +47,9 @@ def main():
     e0, e1, e2, tcol, cmin, cmax = pack_tris(scene.triangles)
     etab = _combined_table(e0, e1, e2, tcol)
     n_chunks = int(cmin.shape[0])
+    bx = jnp.concatenate(
+        [jnp.concatenate([cmin, cmax], axis=1),
+         jnp.full((1, 6), np.float32(1e30), jnp.float32)]).reshape(-1)
 
     k = np.random.default_rng(0)
     ray_dm = jnp.asarray(k.normal(size=(N, RAY_K)).astype(np.float32))
@@ -75,8 +78,8 @@ def main():
     for name, (tos, isf, vg, ids) in cases.items():
         def step(e, tos=tos, isf=isf, vg=vg, ids=ids):
             t, i = _sweep_round_resident(
-                ray_dm + e, ray_o1, t_b, i_b, tos, isf, vg, ids, etab,
-                1e-4, False)
+                ray_dm + e, ray_o1, t_b, i_b, tos, isf, vg, ids, bx,
+                etab, 1e-4, False)
             return jnp.float32(jnp.sum(i)) * 0e-30 + e * 0.5
 
         dt = timeit(step)

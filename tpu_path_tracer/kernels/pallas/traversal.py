@@ -83,7 +83,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.types import FlatBVH, Triangles
 from ..intersect import DET_EPS as _DET_EPS_SHARED
 
-TILE_ROWS = 1          # rays per tile = TILE_ROWS * 128
+# Rays per tile = TILE_ROWS * 128.  Tunable (env TPT_TILE_ROWS) because
+# the optimum is a measured trade: bigger tiles amortize the sweep
+# grid's ~3 us/step bookkeeping floor and widen the MXU matmuls
+# ([TILE, 8] x [8, 1024] rows), but loosen the per-tile beam bounds so
+# the cull's candidate tiers and the sweep's chunk unions grow.
+TILE_ROWS = int(__import__("os").environ.get("TPT_TILE_ROWS", "1"))
 LANES = 128
 TILE = TILE_ROWS * LANES
 TRI_CHUNK = 128        # triangles per chunk (cull granularity)
@@ -609,19 +614,29 @@ def _sweep_kernel_resident(t_min: float):
     """Sweep kernel with the whole chunk-table set resident in VMEM.
 
     Per grid step: read this step's CHUNKS_PER_STEP x SUBS_PER_STEP chunk
-    ids from the scalar-prefetched queue, copy each chunk's combined
-    table block (:func:`_combined_table`) out of the resident table into
-    a contiguous scratch block (dynamic leading-dim VMEM indexing — the
-    embedding-lookup pattern), then run the same predicated MXU sub-block
-    sweep as the gather kernel.  No XLA-side gather, no per-step table
-    DMA, no dummy-chunk HBM waste — the queue's dummy steps only touch
-    VMEM, and each chunk costs ONE [32, 128] copy.
+    ids from the scalar-prefetched queue, and for each chunk FIRST run an
+    in-kernel exact slab test of the chunk's AABB (scalar-prefetched box
+    table) against the tile's rays at their CURRENT running best — only
+    when some ray can still hit does the chunk's combined table block
+    (:func:`_combined_table`) get copied out of the resident table
+    (dynamic leading-dim VMEM indexing — the embedding-lookup pattern)
+    and swept with per-chunk MXU matmuls.  The gate is the within-round
+    analogue of the between-round recount, but per CHUNK and per RAY
+    (exact slab x per-lane ``t_cur``, not beam interval x tile max): on
+    incoherent wavefronts the tile union averages ~16x the mean per-ray
+    need, and every union chunk past a lane's hit dies here at the cost
+    of six scalar-broadcast compares instead of a copy + 4 matmuls.
+    Dummy queue slots point at the box table's degenerate ``+BIG`` row
+    and self-gate.  Sweep cost was measured ~linear in swept columns
+    (tools/trav_kbench.py: vg1 5.1 us, vg4 18.2 us per step), so
+    per-chunk matmuls cost what the former 8-chunk batch did — the gate
+    is pure win.
     """
     t_min = np.float32(t_min)
     kc = CHUNKS_PER_STEP * TRI_CHUNK
 
-    def kernel(sos_ref, isf_ref, vg_ref, ids_ref, dm_ref, o1_ref, tb_ref,
-               ib_ref, tab_ref, t_out, idx_out, sc):
+    def kernel(sos_ref, isf_ref, vg_ref, ids_ref, bx_ref, dm_ref, o1_ref,
+               tb_ref, ib_ref, tab_ref, t_out, idx_out, sc):
         s = pl.program_id(0)
 
         @pl.when(isf_ref[s] == 1)
@@ -634,68 +649,111 @@ def _sweep_kernel_resident(t_min: float):
         # floor; each tile's sub-blocks are predicated independently.
         for p in range(TPG):
             rows = slice(p * TILE, (p + 1) * TILE)
+            dm = dm_ref[rows, :]
+            o1 = o1_ref[rows, :]
+            ivs = []
+            for ax in range(3):
+                dax = dm[:, ax:ax + 1]
+                ivs.append(jnp.where(dax >= 0.0, 1.0, -1.0)
+                           / jnp.maximum(jnp.abs(dax), np.float32(1e-12)))
             for j in range(SUBS_PER_STEP):
                 @pl.when(j < vg_ref[s * TPG + p])
-                def _(p=p, j=j, rows=rows):
+                def _(p=p, j=j, rows=rows, dm=dm, o1=o1, ivs=ivs):
+                    # Sub-block gate: exact slab of the 8 chunk AABBs
+                    # (scalar-prefetched box table) against every ray at
+                    # its CURRENT best — the within-round analogue of
+                    # the between-round recount, per 8-chunk group and
+                    # per LANE.  Skips the copies + matmuls whenever no
+                    # ray can still hit any of the group's chunks
+                    # (oracle ceiling on bounce wavefronts: ~37% of the
+                    # tile-union sweep volume; a per-CHUNK gate saves
+                    # slightly more in volume but serializes the MXU
+                    # pipeline on t_out and measured net-slower).  Gate
+                    # granularity is deliberately the matmul batch.
+                    t_cur = t_out[rows, :]
+                    any_live = None
                     for c in range(CHUNKS_PER_STEP):
-                        # ids is FLAT: a 2-D SMEM operand pads its minor
-                        # dim to a full 128 lanes (measured: a [2048, 32]
-                        # i32 queue = 1 MB, over SMEM's capacity).
                         cid = ids_ref[(s * TPG + p) * step_c
                                       + j * CHUNKS_PER_STEP + c]
-                        sc[:, c * TRI_CHUNK:(c + 1) * TRI_CHUNK] = \
-                            tab_ref[cid]
-                    t_best = t_out[rows, :]
-                    idx_best = idx_out[rows, :]
+                        tlo = jnp.full_like(t_cur, -_INF)
+                        thi = jnp.full_like(t_cur, _INF)
+                        for ax in range(3):
+                            bmn = bx_ref[cid * 6 + ax]
+                            bmx = bx_ref[cid * 6 + 3 + ax]
+                            t0 = (bmn - o1[:, ax:ax + 1]) * ivs[ax]
+                            t1 = (bmx - o1[:, ax:ax + 1]) * ivs[ax]
+                            tlo = jnp.maximum(tlo, jnp.minimum(t0, t1))
+                            thi = jnp.minimum(thi, jnp.maximum(t0, t1))
+                        live = ((thi >= jnp.maximum(tlo, 0.0))
+                                & (tlo <= t_cur))
+                        any_live = live if any_live is None \
+                            else (any_live | live)
 
-                    def mm(rays, r):
-                        # HIGHEST: geometry needs f32-grade products —
-                        # the TPU default multiplies f32 matmul inputs in
-                        # plain bf16, which flips edge/hit tests.
-                        return jax.lax.dot_general(
-                            rays, sc[r * RAY_K:(r + 1) * RAY_K, :],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=_F32,
-                            precision=jax.lax.Precision.HIGHEST)
+                    @pl.when(jnp.any(any_live))
+                    def _(p=p, j=j, rows=rows, dm=dm, o1=o1):
+                        for c in range(CHUNKS_PER_STEP):
+                            # ids is FLAT: a 2-D SMEM operand pads its
+                            # minor dim to a full 128 lanes (measured: a
+                            # [2048, 32] i32 queue = 1 MB, over SMEM's
+                            # capacity).
+                            cid = ids_ref[(s * TPG + p) * step_c
+                                          + j * CHUNKS_PER_STEP + c]
+                            sc[:, c * TRI_CHUNK:(c + 1) * TRI_CHUNK] = \
+                                tab_ref[cid]
+                        t_best = t_out[rows, :]
+                        idx_best = idx_out[rows, :]
 
-                    dm = dm_ref[rows, :]
-                    s0, s1, s2 = mm(dm, 0), mm(dm, 1), mm(dm, 2)
-                    tn = mm(o1_ref[rows, :], 3)
-                    den = s0 + s1 + s2           # = n·d (MT determinant)
-                    inv = jnp.reciprocal(den)
-                    tt = tn * inv
-                    ok = ((jnp.abs(den) >= _DET_EPS) & (tt >= t_min)
-                          & (tt < t_best)
-                          & (s0 * inv >= t_min) & (s1 * inv >= t_min)
-                          & (s2 * inv >= t_min))
-                    tm = jnp.where(ok, tt, _INF)
-                    t_chunk = jnp.min(tm, axis=1, keepdims=True)
-                    # gid rides the combined table's row 28 (tcol row 4).
-                    isel = jnp.min(
-                        jnp.where(tm == t_chunk,
-                                  sc[3 * RAY_K + 4:3 * RAY_K + 5, :],
-                                  _INF),
-                        axis=1, keepdims=True)
-                    upd = t_chunk < t_best
-                    t_out[rows, :] = jnp.where(upd, t_chunk, t_best)
-                    idx_out[rows, :] = jnp.where(upd, isel, idx_best)
+                        def mm(rays, r):
+                            # HIGHEST: geometry needs f32-grade products
+                            # — the TPU default multiplies f32 matmul
+                            # inputs in plain bf16, which flips edge/hit
+                            # tests.
+                            return jax.lax.dot_general(
+                                rays, sc[r * RAY_K:(r + 1) * RAY_K, :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=_F32,
+                                precision=jax.lax.Precision.HIGHEST)
+
+                        s0, s1, s2 = mm(dm, 0), mm(dm, 1), mm(dm, 2)
+                        tn = mm(o1, 3)
+                        den = s0 + s1 + s2       # = n·d (MT determinant)
+                        inv = jnp.reciprocal(den)
+                        tt = tn * inv
+                        ok = ((jnp.abs(den) >= _DET_EPS) & (tt >= t_min)
+                              & (tt < t_best)
+                              & (s0 * inv >= t_min) & (s1 * inv >= t_min)
+                              & (s2 * inv >= t_min))
+                        tm = jnp.where(ok, tt, _INF)
+                        t_chunk = jnp.min(tm, axis=1, keepdims=True)
+                        # gid rides the combined table's row 28 (tcol
+                        # row 4).
+                        isel = jnp.min(
+                            jnp.where(tm == t_chunk,
+                                      sc[3 * RAY_K + 4:3 * RAY_K + 5, :],
+                                      _INF),
+                            axis=1, keepdims=True)
+                        upd = t_chunk < t_best
+                        t_out[rows, :] = jnp.where(upd, t_chunk, t_best)
+                        idx_out[rows, :] = jnp.where(upd, isel, idx_best)
 
     return kernel
 
 
 def _sweep_round_resident(ray_dm, ray_o1, t_best, idx_best, sos, isf, vg,
-                          ids, etab, t_min: float, interpret: bool):
+                          ids, bx, etab, t_min: float, interpret: bool):
     """One compacted SPAN round with VMEM-resident tables (see
     :func:`_sweep_kernel_resident`).  ``sos [B]`` routes each grid step
     to a span of TPG consecutive tiles; ``vg [B*TPG]`` and ``ids
-    [B*TPG*step_c]`` carry per-tile sub-block counts / chunk ids."""
+    [B*TPG*step_c]`` carry per-tile sub-block counts / chunk ids; ``bx
+    [(C+1)*6]`` is the flat chunk AABB table (min xyz, max xyz per
+    chunk, degenerate +BIG for the dummy row) for the in-kernel gate."""
     n_pad = ray_dm.shape[0]
     b_steps = sos.shape[0]
     kc = CHUNKS_PER_STEP * TRI_CHUNK
 
     def by_span(kind):
         return pl.BlockSpec(
-            kind, lambda s, sos_ref, isf_ref, vg_ref, ids_ref:
+            kind, lambda s, sos_ref, isf_ref, vg_ref, ids_ref, bx_ref:
             (sos_ref[s], 0), memory_space=pltpu.VMEM)
 
     # The table must be a CONSTANT-index block, not a bare whole-array
@@ -704,10 +762,10 @@ def _sweep_round_resident(ray_dm, ray_o1, t_best, idx_best, sos, isf, vg,
     # sweep time); a constant block index engages the revisited-block
     # logic and the table is fetched once.
     whole = pl.BlockSpec(
-        etab.shape, lambda s, sos_ref, isf_ref, vg_ref, ids_ref:
+        etab.shape, lambda s, sos_ref, isf_ref, vg_ref, ids_ref, bx_ref:
         (0, 0, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(b_steps,),
         in_specs=[by_span((TPG * TILE, RAY_K)),
                   by_span((TPG * TILE, RAY_K)),
@@ -722,8 +780,8 @@ def _sweep_round_resident(ray_dm, ray_o1, t_best, idx_best, sos, isf, vg,
         grid_spec=grid_spec,
         out_shape=(out_shape, out_shape),
         interpret=interpret,
-    )(sos, isf, vg.reshape(-1), ids.reshape(-1), ray_dm, ray_o1, t_best,
-      idx_best, etab)
+    )(sos, isf, vg.reshape(-1), ids.reshape(-1), bx, ray_dm, ray_o1,
+      t_best, idx_best, etab)
 
 
 def _sweep_kernel(t_min: float):
@@ -955,7 +1013,8 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
                                                     cmin, cmax)
             return _tile_sweep_rounds(order, entry_sorted, count, ray_dm,
                                       ray_o1, tb_p, e0, e1, e2, tcol,
-                                      etab, t_min, interpret, n_chunks)
+                                      etab, cmin, cmax, t_min, interpret,
+                                      n_chunks)
 
         if etab is not None and PAIR_DISPATCH_KMAX is not None:
             g = _superchunk_size(n_chunks)
@@ -1002,7 +1061,7 @@ def tile_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
 
 
 def _tile_sweep_rounds(order, entry_sorted, count, ray_dm, ray_o1, tb_pad,
-                       e0, e1, e2, tcol, etab, t_min: float,
+                       e0, e1, e2, tcol, etab, cmin, cmax, t_min: float,
                        interpret: bool, n_chunks: int):
     """Tile-major compacted-queue sweep rounds (the v2 sweep): serve each
     tile's front-to-back chunk list in grid steps routed by scalar
@@ -1021,6 +1080,13 @@ def _tile_sweep_rounds(order, entry_sorted, count, ray_dm, ray_o1, tb_pad,
     kvec = jnp.arange(step_c, dtype=jnp.int32)
     dummy = np.int32(n_chunks)
     n_spans = n_tiles // TPG
+
+    # Flat chunk AABB table for the resident kernel's in-kernel gate:
+    # [min x,y,z, max x,y,z] per chunk plus a degenerate +BIG dummy row
+    # (id n_chunks) whose slab test self-rejects.
+    bx = jnp.concatenate(
+        [jnp.concatenate([cmin, cmax], axis=1),
+         jnp.full((1, 6), _BIG, _F32)]).reshape(-1)
 
     def cond(state):
         _, _, pos, limit = state
@@ -1065,8 +1131,8 @@ def _tile_sweep_rounds(order, entry_sorted, count, ray_dm, ray_o1, tb_pad,
         vg = jnp.where(real[:, None], -(-rem // k), 0).astype(jnp.int32)
 
         t_new, i_new = _sweep_round_resident(
-            ray_dm, ray_o1, t_best, idx_best, sos, isf, vg, ids, etab,
-            t_min, interpret)
+            ray_dm, ray_o1, t_best, idx_best, sos, isf, vg, ids, bx,
+            etab, t_min, interpret)
 
         scum_prev = jnp.concatenate([jnp.zeros((1,), scum.dtype),
                                      scum[:-1]])
@@ -1138,16 +1204,38 @@ def _tile_sweep_rounds(order, entry_sorted, count, ray_dm, ray_o1, tb_pad,
     t0 = tb_pad[:, None]
     i0 = jnp.full((n_pad, 1), -1.0, _F32)
     pos0 = jnp.zeros((n_tiles,), jnp.int32)
-    # Round 1 at full budget (a coherent frame finishes in it), then
-    # straggler rounds at 1/8 budget: a full-width round costs its grid's
-    # ~3 us/step bookkeeping floor even when nearly every step is a
-    # no-op, so leftover tiles must not re-pay the whole width (measured
-    # 6.3 ms per 2048-step round at zero work).
+    # Round 1 width is TIERED on the total queue length (resident path):
+    # an incoherent wavefront needs ~2-3 steps per tile, and serving it
+    # through one width-n_tiles round plus a dozen 1/8-width straggler
+    # rounds re-paid the per-round XLA queue/recount cost and the grid
+    # floor every time (measured: the bounce-like probe spent most of its
+    # 127 ms in ~14 straggler rounds).  A 2x/4x round serves the whole
+    # queue in ONE launch; the in-kernel per-chunk gate provides the
+    # within-round termination the old multi-round recount loop existed
+    # for.  The gather path (big meshes) keeps single-width rounds: its
+    # per-step tables are materialized XLA-side at width x 32 KB.
     state = (t0, i0, pos0, count)
-    state = jax.lax.cond(cond(state), make_round(width),
-                         lambda s: s, state)
-    t, idx, _, _ = jax.lax.while_loop(
-        cond, make_round(max(width // 8, 64)), state)
+    if resident:
+        # The widest tier is capped by SMEM: the scalar-prefetched chunk
+        # queue costs b_steps x 32 x 4 B and SMEM is 1 MB/core (a 4x
+        # width at 512^2 = 8192 steps = a 1 MB ids array alone).
+        steps_needed = jnp.sum(-(-count // step_c))
+        widths = [width, 2 * width]
+        branches = [make_round(w) for w in widths]
+        tier = sum(jnp.int32(steps_needed > w) for w in widths[:-1])
+        state = jax.lax.cond(
+            cond(state),
+            lambda s: jax.lax.switch(tier, branches, s),
+            lambda s: s, state)
+        straggler = max(width // 4, 64)
+    else:
+        state = jax.lax.cond(cond(state), make_round(width),
+                             lambda s: s, state)
+        straggler = max(width // 8, 64)
+    # Straggler rounds at reduced budget: a full-width round costs its
+    # grid's ~1.1 us/step bookkeeping floor even when nearly every step
+    # is a no-op, so leftover tiles must not re-pay the whole width.
+    t, idx, _, _ = jax.lax.while_loop(cond, make_round(straggler), state)
     return t, idx
 
 
@@ -1875,8 +1963,8 @@ def pair_closest_hit(origin, direction, bvh: FlatBVH, tris_packed,
     def dense_branch():
         order, ent_s, count = chunk_cull(o_pad, d_pad, tb_pad, cmin, cmax)
         return _tile_sweep_rounds(order, ent_s, count, ray_dm, ray_o1,
-                                  tb_pad, e0, e1, e2, tcol, etab, t_min,
-                                  interpret, n_chunks)
+                                  tb_pad, e0, e1, e2, tcol, etab, cmin,
+                                  cmax, t_min, interpret, n_chunks)
 
     branches = [functools.partial(pair_branch, kb) for kb in tiers]
     branches.append(dense_branch)
