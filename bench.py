@@ -45,18 +45,19 @@ def _marginal(run, n1, n2):
 
 
 def _marginal3(run, n1, n2):
-    """Median of three marginals + relative spread.
+    """Median of five marginals + relative spread.
 
     Round 4's recorded headline (865 Mray/s) was a single narrow-window
     marginal whose ~8 steps of signal sat under this runtime's ~50-90 ms
     dispatch/materialization noise floor — the judge re-measured ~190.
-    Every sub-5 ms workload now uses wide windows AND the median of three
-    marginals, with the spread recorded so an unstable number is visible
-    in the record itself.
+    Every sub-5 ms workload now uses wide windows AND the median of five
+    marginals (run-to-run chip/schedule variance on this part measured
+    up to ~45% across three), with the spread recorded so an unstable
+    number is visible in the record itself.
     """
-    ms = sorted(_marginal(run, n1, n2) for _ in range(3))
-    med = ms[1]
-    spread = (ms[2] - ms[0]) / max(med, 1e-12)
+    ms = sorted(_marginal(run, n1, n2) for _ in range(5))
+    med = ms[2]
+    spread = (ms[-1] - ms[0]) / max(med, 1e-12)
     return med, spread
 
 

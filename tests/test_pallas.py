@@ -444,9 +444,12 @@ def test_pairbin_traversal_matches_jnp_walk(monkeypatch):
 
 def test_tile_traversal_prefix_tiers():
     """Large mostly-retired wavefront: the sort packs the few live rays
-    into a prefix and the cull+sweep runs at a 1/8-width tier (round-4
-    frame lever); results must match the jnp walk with the tail carried
-    through as misses."""
+    into a prefix and the cull+sweep runs at a fractional-width tier
+    (round-4 frame lever); results must match the jnp walk with the tail
+    carried through as misses.  2 x TILE x CULL_BLOCK rays engage the
+    n_pad/2 tier (the smallest wavefront with more than one tier — the
+    tier MECHANISM is identical at every fraction, and interpret-mode
+    cost scales with the ray count, round-4 verdict task 6)."""
     from tpu_path_tracer.core.config import LAMBERTIAN
     from tpu_path_tracer.kernels import traversal as jnp_trav
     from tpu_path_tracer.kernels.pallas.traversal import (
@@ -460,7 +463,7 @@ def test_tile_traversal_prefix_tiers():
     scene, meta = b.build(bvh="median")
     tris, bvh = scene.triangles, scene.bvh
 
-    n = 8 * TILE * CULL_BLOCK  # 65,536: engages the n_pad/8 prefix tier
+    n = 2 * TILE * CULL_BLOCK  # 16,384: engages the n_pad/2 prefix tier
     k = np.random.default_rng(9)
     origin = np.tile(np.array([[0.0, 0.0, 3.0]], np.float32), (n, 1))
     target = k.uniform(-0.6, 0.6, (n, 3)).astype(np.float32)
@@ -468,8 +471,8 @@ def test_tile_traversal_prefix_tiers():
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     origin = jnp.asarray(origin)
     direction = jnp.asarray(d)
-    # 97% of lanes retired: live count ~ 2k << n_pad/8 = 8192.
-    dead = k.uniform(size=n) < 0.97
+    # 95% of lanes retired: live count ~ 800 << n_pad/2 = 8192.
+    dead = k.uniform(size=n) < 0.95
     t0 = jnp.where(jnp.asarray(dead), -3e38, 1e9).astype(jnp.float32)
 
     t_ref, i_ref = jnp_trav.bvh_closest_hit(
@@ -486,4 +489,4 @@ def test_tile_traversal_prefix_tiers():
     np.testing.assert_allclose(np.asarray(t_got)[hit],
                                np.asarray(t_ref)[hit],
                                rtol=1e-3, atol=1e-4)
-    assert hit.sum() > 200
+    assert hit.sum() > 100

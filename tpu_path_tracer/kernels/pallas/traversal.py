@@ -6,27 +6,32 @@ every traversal step and lands orders of magnitude off speed-of-light.
 The TPU-native decomposition does the irregular work (pruning) as DENSE
 vector math and the regular work (intersection) as MXU matmuls:
 
-1. **Sort** — rays are ordered by (front superchunk, balanced 6-D Morton
-   key): the major key is the id of the FIRST superchunk AABB the ray
-   can touch (:func:`lead_superchunk`), so rays needing the same part of
-   the mesh share tiles and bounce-wavefront tile unions track per-ray
-   needs; retired lanes (negative ``t_best0`` sentinel from
-   ``kernels/hit.py``) and rays aimed off-mesh sort to the end into
-   zero-work tiles the compacted queue never serves.
+1. **Sort** — rays are ordered by a balanced 6-D Morton key (direction
+   bits major — see :func:`_morton_key6d`); retired lanes (negative
+   ``t_best0`` sentinel from ``kernels/hit.py``) and rays whose exact
+   slab test misses the mesh ROOT box are forced to the max key, packing
+   into zero-work tiles at the END that the prefix tiers and the
+   compacted queue never serve.  (Round 4 used the per-ray front
+   superchunk as the major key; it cost a dense [rays x superchunks]
+   pass and measured no better once the cull went tile-granular.)
 
-2. **Cull — two dense levels, plain XLA** (:func:`chunk_cull`).
-   Triangles are stored in BVH DFS-preorder (``accel/bvh.py``), so every
-   aligned 128-triangle CHUNK is spatially compact, as is every
-   SUPERCHUNK of 8-16 chunks.  A dense per-ray slab pass
-   (``shaders/common.wgsl:245-256`` semantics) over the ~80-160
-   superchunk AABBs picks each tile's front-to-back candidates; a
-   gathered fine pass slab-tests only those candidates' chunks,
-   tier-gated by ``lax.switch`` on the worst tile's candidate count —
-   cull cost tracks survivors, not total chunks (the reference's
-   analogue is the upper tree levels, here flattened into two dense
-   levels).  Tiles' surviving chunks sort front-to-back by conservative
-   entry distance — the TPU analog of the reference's ordered traversal,
-   its 66 -> 104 fps trick (``hitRay.wgsl:80-91``).
+2. **Cull — two dense levels at TILE granularity, plain XLA**
+   (:func:`chunk_cull`).  Triangles are stored in BVH DFS-preorder
+   (``accel/bvh.py``), so every aligned 128-triangle CHUNK is spatially
+   compact, as is every SUPERCHUNK of 8-16 chunks.  A conservative
+   beam-interval slab pass (:func:`_interval_slab_entries` — interval
+   arithmetic over each tile's origin box / inverse-direction interval,
+   with a position-reach test to stay bounded where the direction
+   straddles zero) over the ~80-160 superchunk AABBs picks each tile's
+   front-to-back candidates; a fine pass tests only the candidates'
+   chunks — beam-interval for coherent tiers, exact per-ray min-reduced
+   for incoherent ones — tier-gated by ``lax.switch`` on the worst
+   tile's candidate count, so cull cost tracks survivors, not total
+   chunks (measured ~3 ms per 512^2 call vs ~11 ms for round 4's
+   all-rays-x-all-boxes pass).  Tiles' surviving chunks sort
+   front-to-back by conservative entry distance — the TPU analog of the
+   reference's ordered traversal, its 66 -> 104 fps trick
+   (``hitRay.wgsl:80-91``).
 
 3. **Sweep — compacted work queue, Pallas** (:func:`tile_closest_hit`).
    The ray-triangle test is reformulated so the per-(ray, triangle)
@@ -37,17 +42,22 @@ vector math and the regular work (intersection) as MXU matmuls:
    a ``[−n, n·a]`` column (with the triangle's global index planted in a
    spare row) for the unnormalized hit parameter.  Each grid step sweeps
    up to SUBS_PER_STEP predicated sub-blocks of CHUNKS_PER_STEP chunks
-   for one tile.  For meshes up to RESIDENT_MAX_CHUNKS the whole
-   combined table (~10.5 MB) lives in VMEM and chunks are fetched by
-   in-kernel dynamic indexing (no XLA gathers, no per-step table DMA);
-   larger meshes fall back to per-step XLA-gathered tables.  Work is
-   COMPACTED: each round builds a queue of (tile, chunk-group) steps
-   over only the tiles that still have competitive chunks — a
-   scalar-prefetched tile-id array routes each step's ray/output blocks
-   — and rounds after the first run at 1/8 grid width so stragglers
-   don't re-pay the ~3 us/step bookkeeping floor of a full-width round.
-   After each round a tile's remaining front-to-back chunks are
-   re-counted against its rays' max running ``t_best``.
+   for one tile, each sub-block gated by an in-kernel exact slab test
+   against every ray's CURRENT running best (skips the copies+matmuls
+   for chunk groups no lane can still hit).  For meshes up to
+   RESIDENT_MAX_CHUNKS the whole combined table (~10.5 MB) lives in
+   VMEM and chunks are fetched by in-kernel dynamic indexing (no XLA
+   gathers, no per-step table DMA); larger meshes fall back to per-step
+   XLA-gathered tables.  Work is COMPACTED: each round builds a queue
+   of (tile, chunk-group) steps over only the tiles that still have
+   competitive chunks — a scalar-prefetched tile-id array routes each
+   step's ray/output blocks — with the first round's width TIERED to
+   the total queue length (incoherent wavefronts finish in one 2x-width
+   launch instead of a dozen straggler rounds) and later rounds at 1/4
+   width so stragglers don't re-pay the ~1.1 us/step bookkeeping floor
+   of a full-width round.  After each round a tile's remaining
+   front-to-back chunks are re-counted against its rays' max running
+   ``t_best``.
 
 Correctness does not depend on the culling quality: the slab test is
 exact per (ray, box), entry distances are true lower bounds on hit ``t``
