@@ -683,6 +683,15 @@ def main():
                 "fwd_bwd_reference_scene", "mrays"),
             "fwd_bwd_mesh_82k_tris_mrays": get("fwd_bwd_mesh", "mrays"),
             "fwd_bwd_mesh_step_ms": get("fwd_bwd_mesh", "step_ms"),
+            # The fwd/bwd split on the mesh train step: step_ms over the
+            # forward frame (mesh_bvh).  ~1.6x means the remat policy
+            # (save discrete hits, skip re-traversal in replay) holds —
+            # the forward traversal, not the backward, is the cost.
+            "fwd_bwd_mesh_over_fwd_frame": (
+                round(results["fwd_bwd_mesh"]["step_ms"]
+                      / results["mesh_bvh"]["frame_ms"], 3)
+                if results.get("fwd_bwd_mesh") and results.get("mesh_bvh")
+                else None),
             "fwd_wavefront_mrays": get("fwd_wavefront", "mrays"),
             "fwd_pallas_megakernel_mrays": get("fwd_pallas", "mrays"),
             "fwd_reference_scene_megakernel_mrays": get(
