@@ -1214,37 +1214,34 @@ def _tile_sweep_rounds(order, entry_sorted, count, ray_dm, ray_o1, tb_pad,
     t0 = tb_pad[:, None]
     i0 = jnp.full((n_pad, 1), -1.0, _F32)
     pos0 = jnp.zeros((n_tiles,), jnp.int32)
-    # Round 1 width is TIERED on the total queue length (resident path):
-    # an incoherent wavefront needs ~2-3 steps per tile, and serving it
-    # through one width-n_tiles round plus a dozen 1/8-width straggler
-    # rounds re-paid the per-round XLA queue/recount cost and the grid
-    # floor every time (measured: the bounce-like probe spent most of its
-    # 127 ms in ~14 straggler rounds).  A 2x/4x round serves the whole
-    # queue in ONE launch; the in-kernel per-chunk gate provides the
-    # within-round termination the old multi-round recount loop existed
-    # for.  The gather path (big meshes) keeps single-width rounds: its
-    # per-step tables are materialized XLA-side at width x 32 KB.
+    # Round 1 width is TIERED on the total queue length: an incoherent
+    # wavefront needs several steps per tile, and serving it through one
+    # width-n_tiles round plus narrow straggler rounds re-paid the
+    # per-round XLA queue/recount cost and the grid floor every time
+    # (measured: the resident bounce-like probe spent most of its 127 ms
+    # in ~14 straggler rounds; the 327k GATHER bounce probe needed ~13k
+    # steps = ~44 rounds at the old 1/8 straggler width, 330 ms).  A
+    # 2x-width round serves most of the queue in ONE launch — the widest
+    # tier is capped by SMEM: the scalar-prefetched chunk queue costs
+    # b_steps x 32 x 4 B and SMEM is 1 MB/core (a 4x width at 512^2 =
+    # 8192 steps = a 1 MB ids array alone).  Gather-path rounds also
+    # materialize per-step tables XLA-side (width x 128 KB HBM — ~512 MB
+    # at the 2x tier, a few ms of traffic, well under HBM capacity).
     state = (t0, i0, pos0, count)
-    if resident:
-        # The widest tier is capped by SMEM: the scalar-prefetched chunk
-        # queue costs b_steps x 32 x 4 B and SMEM is 1 MB/core (a 4x
-        # width at 512^2 = 8192 steps = a 1 MB ids array alone).
-        steps_needed = jnp.sum(-(-count // step_c))
-        widths = [width, 2 * width]
-        branches = [make_round(w) for w in widths]
-        tier = sum(jnp.int32(steps_needed > w) for w in widths[:-1])
-        state = jax.lax.cond(
-            cond(state),
-            lambda s: jax.lax.switch(tier, branches, s),
-            lambda s: s, state)
-        straggler = max(width // 4, 64)
-    else:
-        state = jax.lax.cond(cond(state), make_round(width),
-                             lambda s: s, state)
-        straggler = max(width // 8, 64)
+    steps_needed = jnp.sum(-(-count // step_c))
+    widths = [width, 2 * width]
+    branches = [make_round(w) for w in widths]
+    tier = sum(jnp.int32(steps_needed > w) for w in widths[:-1])
+    state = jax.lax.cond(
+        cond(state),
+        lambda s: jax.lax.switch(tier, branches, s),
+        lambda s: s, state)
     # Straggler rounds at reduced budget: a full-width round costs its
     # grid's ~1.1 us/step bookkeeping floor even when nearly every step
     # is a no-op, so leftover tiles must not re-pay the whole width.
+    # The gather path stragglers at width/2, not width/4: big-mesh
+    # incoherent wavefronts carry several steps/tile past round 1.
+    straggler = max(width // 4 if resident else width // 2, 64)
     t, idx, _, _ = jax.lax.while_loop(cond, make_round(straggler), state)
     return t, idx
 
