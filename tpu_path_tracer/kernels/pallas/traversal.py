@@ -1287,7 +1287,7 @@ PAIRBIN_SEGS = 4     # segments per pair-kernel grid step
 # count in the beam-interval coarse pass).  ``None`` disables the pair
 # branch entirely (the cond is not even traced): measured on a v5e chip
 # at 512^2 / 82k tris, the single-shot pair-bin path runs 187 ms
-# (coherent) to 427 ms (bounce-like) against the tile sweep's 4-49 ms —
+# (coherent) to 427 ms (bounce-like) against the tile sweep's 13-105 ms —
 # the K-wide emission sort (n*K rows x 11 operands) plus the per-segment
 # predicated table copies dominate.  Kept as a tested, forced-dispatch
 # API (tests/test_pallas.py::test_pairbin_traversal_matches_jnp_walk)
